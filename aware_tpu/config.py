@@ -1,0 +1,169 @@
+"""Typed configuration for aware_tpu.
+
+One frozen dataclass replaces the reference's YAML-card + ``config.get``
+fallback chain (reference: src/AWARE/cards/config.yaml:1-46,
+src/AWARE/utils/models/load_model.py:22-64).  Defaults mirror the reference
+card exactly; a YAML card with the same keys can override any field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Mapping, Sequence
+
+import yaml
+
+_CARD_PATH = pathlib.Path(__file__).parent / "cards" / "config.yaml"
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorNetConfig:
+    """Architecture of the keyed detector CNN.
+
+    Mirrors ``detection_net_cfg`` (reference: cards/config.yaml:33-43,
+    multibit_detector_net.py:14-28).
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 1024
+    n_mels: int = 128
+    num_blocks: int = 3
+    initial_pool_size: int = 2
+    initial_pool_stride: int = 2
+    n_filters: tuple[int, ...] = (512, 1024, 1024)
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    norm_layer: str = "instance"
+    activation: str = "leaky_relu"
+    output_length: int = 20
+    final_activation: str = "tanh"
+    # RNG seed pinning the key material (reference: multibit_detector_net.py:78).
+    seed: int = 328656719
+
+    def __post_init__(self) -> None:
+        if len(self.n_filters) != self.num_blocks:
+            raise ValueError("Number of filters must match number of blocks")
+
+    @property
+    def channels(self) -> tuple[int, ...]:
+        """Channel sizes of the num_blocks+1 conv blocks, input first.
+
+        (reference: multibit_detector_net.py:58)
+        """
+        return (self.n_mels, *self.n_filters, 2 * self.output_length)
+
+
+@dataclasses.dataclass(frozen=True)
+class AwareConfig:
+    """Full framework configuration (reference: cards/config.yaml:1-46)."""
+
+    # STFT (reference: cards/config.yaml:3-6)
+    frame_length: int = 1024
+    hop_length: int = 256
+    window: str = "hann"
+    win_length: int = 1024
+
+    # Pattern codec (reference: cards/config.yaml:9-10)
+    pattern_mode: str = "bits2bipolar"
+    watermark_length: int = 20
+
+    # Embedding (reference: cards/config.yaml:13-14)
+    embedding_bands: tuple[float, float] = (500.0, 4000.0)
+    tolerance_db: float = 6.0
+
+    # Optimization (reference: cards/config.yaml:17-27)
+    num_iterations: int = 400
+    optimizer_name: str = "nadam"
+    optimizer_params: Mapping[str, Any] = dataclasses.field(
+        default_factory=lambda: {"lr": 0.1}
+    )
+    scheduler_name: str = "reduce_lr_on_plateau"
+    scheduler_params: Mapping[str, Any] = dataclasses.field(
+        default_factory=lambda: {"factor": 0.9, "patience": 500}
+    )
+    loss: str = "push_extremes"
+
+    verbose: bool = False
+
+    detection_net: DetectorNetConfig = dataclasses.field(
+        default_factory=DetectorNetConfig
+    )
+
+    # Detection threshold (reference: cards/config.yaml:46)
+    threshold: float = 0.0
+
+    # --- TPU-rebuild-only knobs (no reference equivalent) ---
+    # 'highest' keeps f32 MXU matmuls at full precision for bit parity with the
+    # CPU reference; 'default' allows faster reduced-precision accumulation.
+    matmul_precision: str = "highest"
+    # Compute dtype for the embed/detect graphs.
+    dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if self.window not in ("hann", "hamming"):
+            raise ValueError(f"Invalid window type: {self.window}")
+
+    @classmethod
+    def from_card(cls, path: str | pathlib.Path | None = None) -> "AwareConfig":
+        """Load config from a YAML card (reference-compatible key names)."""
+        card = yaml.safe_load(pathlib.Path(path or _CARD_PATH).read_text()) or {}
+        return cls.from_dict(card)
+
+    @classmethod
+    def from_dict(cls, card: Mapping[str, Any]) -> "AwareConfig":
+        kwargs: dict[str, Any] = {}
+        simple = {
+            "frame_length", "hop_length", "window", "win_length",
+            "pattern_mode", "watermark_length", "tolerance_db",
+            "num_iterations", "loss", "verbose", "threshold",
+            "matmul_precision", "dtype",
+        }
+        for key in simple & set(card):
+            kwargs[key] = card[key]
+        if "embedding_bands" in card:
+            kwargs["embedding_bands"] = tuple(card["embedding_bands"])
+        if "optimizer_cfg" in card:
+            kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
+            kwargs["optimizer_params"] = dict(
+                card["optimizer_cfg"].get("params", {"lr": 0.1})
+            )
+        if "scheduler_cfg" in card:
+            kwargs["scheduler_name"] = card["scheduler_cfg"].get(
+                "name", "reduce_lr_on_plateau"
+            )
+            kwargs["scheduler_params"] = dict(
+                card["scheduler_cfg"].get("params", {})
+            )
+        if "detection_net_cfg" in card:
+            net = dict(card["detection_net_cfg"])
+            if "n_filters" in net:
+                net["n_filters"] = tuple(net["n_filters"])
+            kwargs["detection_net"] = DetectorNetConfig(**net)
+        return cls(**kwargs)
+
+    def replace(self, **kwargs: Any) -> "AwareConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def in_band_bins(
+    sample_rate: int, n_fft: int, bands: Sequence[float]
+) -> tuple[int, int]:
+    """Half-open bin range [lo, hi) of FFT bins inside the embedding band.
+
+    The reference masks bins by ``fft_frequencies`` membership
+    (reference: multibit_embedder.py:43-47); because the frequency grid is a
+    linspace the selected indices are always one contiguous run, which we
+    exploit for cheap slice-based scatter on TPU.
+    """
+    import numpy as np
+
+    freqs = np.linspace(0.0, sample_rate / 2.0, n_fft // 2 + 1)
+    mask = (freqs >= bands[0]) & (freqs <= bands[1])
+    idx = np.where(mask)[0]
+    if len(idx) == 0:
+        raise ValueError(f"No FFT bins inside embedding band {bands}")
+    if not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+        raise AssertionError("embedding band bins are not contiguous")
+    return int(idx[0]), int(idx[-1] + 1)
