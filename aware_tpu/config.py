@@ -76,13 +76,11 @@ class AwareConfig:
     # Optimization (reference: cards/config.yaml:17-27)
     num_iterations: int = 400
     optimizer_name: str = "nadam"
-    optimizer_params: Mapping[str, Any] = dataclasses.field(
-        default_factory=lambda: {"lr": 0.1}
-    )
+    # stored as a sorted (key, value) tuple so the whole config is hashable
+    # (it is a jit static argument); use .opt_params / .sched_params.
+    optimizer_params: Any = (("lr", 0.1),)
     scheduler_name: str = "reduce_lr_on_plateau"
-    scheduler_params: Mapping[str, Any] = dataclasses.field(
-        default_factory=lambda: {"factor": 0.9, "patience": 500}
-    )
+    scheduler_params: Any = (("factor", 0.9), ("patience", 500))
     loss: str = "push_extremes"
 
     verbose: bool = False
@@ -104,6 +102,21 @@ class AwareConfig:
     def __post_init__(self) -> None:
         if self.window not in ("hann", "hamming"):
             raise ValueError(f"Invalid window type: {self.window}")
+        for field in ("optimizer_params", "scheduler_params", "embedding_bands"):
+            value = getattr(self, field)
+            if isinstance(value, Mapping):
+                value = tuple(sorted(value.items()))
+            elif isinstance(value, list):
+                value = tuple(value)
+            object.__setattr__(self, field, value)
+
+    @property
+    def opt_params(self) -> dict[str, Any]:
+        return dict(self.optimizer_params)
+
+    @property
+    def sched_params(self) -> dict[str, Any]:
+        return dict(self.scheduler_params)
 
     @classmethod
     def from_card(cls, path: str | pathlib.Path | None = None) -> "AwareConfig":
