@@ -1,0 +1,22 @@
+from aware_tpu.service.api import (
+    AWAREEmbedder,
+    AWAREDetector,
+    load,
+    embed_watermark,
+    detect_watermark,
+    embed_watermark_batch,
+    detect_watermark_batch,
+)
+from aware_tpu.service.codec import encode_pattern, decode_pattern
+
+__all__ = [
+    "AWAREEmbedder",
+    "AWAREDetector",
+    "load",
+    "embed_watermark",
+    "detect_watermark",
+    "embed_watermark_batch",
+    "detect_watermark_batch",
+    "encode_pattern",
+    "decode_pattern",
+]

@@ -1,0 +1,124 @@
+"""Service-layer contract tests (reference: service/embed.py, service/detect.py)."""
+
+import numpy as np
+import pytest
+
+from aware_tpu import load, embed_watermark, detect_watermark
+from aware_tpu.service import (
+    embed_watermark_batch,
+    detect_watermark_batch,
+    encode_pattern,
+    decode_pattern,
+)
+from aware_tpu.config import AwareConfig
+from aware_tpu.ops.vad import is_silent
+
+BITS = np.array([1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 0, 1])
+
+
+@pytest.fixture(scope="module")
+def model():
+    # few iterations: service-contract tests exercise plumbing, not quality
+    return load(num_iterations=25)
+
+
+def test_load_returns_shared_params(model):
+    embedder, detector = model
+    assert embedder.params is detector.params
+    assert detector.get_model_info()["total_parameters"] == 1_681_960
+
+
+def test_mono_embed_detect(model, speechlike):
+    embedder, detector = model
+    wm = embed_watermark(speechlike, 16000, BITS, embedder)
+    assert wm.ndim == 1
+    # service rescales by the signed max of the input
+    assert abs(np.max(wm) - np.max(speechlike)) < 0.05
+    detected = detect_watermark(wm, 16000, detector)
+    assert detected.shape == (20,)
+    assert set(np.unique(detected)) <= {0, 1}
+
+
+def test_full_card_mono_roundtrip_zero_ber(speechlike):
+    embedder, detector = load()  # full 400 iterations
+    wm = embed_watermark(speechlike, 16000, BITS, embedder)
+    detected = detect_watermark(wm, 16000, detector)
+    assert np.mean(detected != BITS) == 0.0
+
+
+def test_stereo_embed_detect(model, speechlike):
+    embedder, detector = model
+    stereo = np.column_stack([speechlike, 0.8 * np.roll(speechlike, 500)])
+    wm = embed_watermark(stereo, 16000, BITS, embedder)
+    assert wm.shape[1] == 2
+    detected = detect_watermark(wm, 16000, detector)
+    assert detected.shape == (20,)
+
+
+def test_wrong_watermark_length_raises(model, speechlike):
+    embedder, _ = model
+    with pytest.raises(ValueError, match="watermark length"):
+        embed_watermark(speechlike, 16000, np.array([1, 0, 1]), embedder)
+
+
+def test_silent_audio_raises(model):
+    embedder, _ = model
+    silence = np.zeros(16000, np.float32) + 1e-5
+    with pytest.raises(ValueError, match="speech"):
+        embed_watermark(silence, 16000, BITS, embedder)
+
+
+def test_44k_resample_path(model, speechlike):
+    """Non-16k input is accepted (resampled in and out) — rebuild extension;
+    the reference raises here."""
+    from aware_tpu.ops.resample import resample
+    import jax.numpy as jnp
+
+    embedder, detector = model
+    audio44 = np.asarray(resample(jnp.asarray(speechlike), 16000, 44100))
+    wm44 = embed_watermark(audio44, 44100, BITS, embedder)
+    assert wm44.ndim == 1
+    # detector accepts the 44.1k watermarked clip directly
+    detected = detect_watermark(wm44, 44100, detector)
+    assert detected.shape == (20,)
+
+
+def test_batch_service(model, speechlike):
+    embedder, detector = model
+    audios = np.stack([speechlike, np.roll(speechlike, 777)])
+    bits = np.stack([BITS, 1 - BITS])
+    wm = embed_watermark_batch(audios, 16000, bits, embedder)
+    assert wm.shape[0] == 2
+    detected = detect_watermark_batch(wm, 16000, detector)
+    assert detected.shape == (2, 20)
+
+
+def test_vad_gate_semantics(speechlike, rng):
+    assert not is_silent(speechlike, 16000)
+    assert is_silent(np.zeros(16000, np.float32), 16000)
+    # loud white noise: energetic but not speech-like
+    noise = rng.standard_normal(16000).astype(np.float32) * 0.5
+    assert is_silent(noise, 16000)
+
+
+def test_codec_roundtrips():
+    bits = np.array([1, 0, 1, 1, 0])
+    np.testing.assert_array_equal(encode_pattern(bits), [1, -1, 1, 1, -1])
+    vals = np.array([0.9, -0.3, 0.1, 0.7, -0.8])
+    np.testing.assert_array_equal(decode_pattern(vals), [1, 0, 1, 1, 0])
+
+    payload = b"\xa5"
+    bits8 = encode_pattern(payload, "bytes2bits")
+    np.testing.assert_array_equal(bits8, [1, 0, 1, 0, 0, 1, 0, 1])
+    bipolar8 = encode_pattern(payload, "bytes2bipolar")
+    np.testing.assert_array_equal(bipolar8, [1, -1, 1, -1, -1, 1, -1, 1])
+    # reference's one-byte-per-bit packing quirk
+    decoded = decode_pattern(np.array([0.5, -0.5]), "bytes2bits")
+    assert decoded == b"\x01\x00"
+
+
+def test_codec_invalid_mode():
+    with pytest.raises(ValueError):
+        encode_pattern([1, 0], "nope")
+    with pytest.raises(ValueError):
+        decode_pattern(np.array([0.1]), "nope")
