@@ -93,11 +93,17 @@ class AwareConfig:
     threshold: float = 0.0
 
     # --- TPU-rebuild-only knobs (no reference equivalent) ---
-    # 'highest' keeps f32 MXU matmuls at full precision for bit parity with the
-    # CPU reference; 'default' allows faster reduced-precision accumulation.
-    matmul_precision: str = "highest"
+    # 'high' (bf16x3, ~f32-accurate) is the speed/parity sweet spot on the
+    # MXU; 'highest' forces full f32 passes, 'default' single-pass bf16.
+    matmul_precision: str = "high"
     # Compute dtype for the embed/detect graphs.
     dtype: str = "float32"
+    # Unroll factor of the optimizer scan (XLA scheduling/overlap knob).
+    scan_unroll: int = 1
+    # Fast embed path: framed FFTs of the round trip as banded DFT matmuls
+    # on the MXU (exploits that only in-band spectrogram rows change).
+    # False falls back to the rfft/irfft reference-shaped graph.
+    use_matmul_dft: bool = True
 
     def __post_init__(self) -> None:
         if self.window not in ("hann", "hamming"):

@@ -45,8 +45,18 @@ from aware_tpu.config import AwareConfig, in_band_bins
 from aware_tpu.embed.losses import get_loss_fn
 from aware_tpu.embed.optim import get_optimizer
 from aware_tpu.embed.schedulers import get_scheduler
-from aware_tpu.models.detector import DetectorParams, detector_apply
-from aware_tpu.ops.stft import istft, magphase, peak_normalize, polar, stft
+from aware_tpu.models.detector import DetectorParams, _precision, detector_apply
+from aware_tpu.ops.stft import (
+    irfft_basis,
+    istft,
+    istft_synthesis,
+    magphase,
+    peak_normalize,
+    polar,
+    rfft_basis,
+    stft,
+    stft_frames,
+)
 from aware_tpu.ops.windows import get_window
 
 
@@ -107,16 +117,81 @@ def embed_core(
 
     wm = watermark.astype(mag.dtype)
 
-    def objective(coeffs):
-        m = _band_concat(mag, coeffs, lo, hi)
-        # Full ISTFT->STFT round trip, differentiated through
-        # (reference :49-67: post pipeline ends and pre pipeline starts with
-        # a peak-normalize, hence the double normalization).
-        y = peak_normalize(istft(polar(m, phase), n_fft, hop, window))
-        m2, _ = magphase(stft(peak_normalize(y), n_fft, hop, window))
-        m2 = _band_zero(m2, lo, hi)
-        pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
-        return loss_fn(pred, wm)
+    # the phase is fixed across the whole optimization — hoist its cos/sin
+    # out of the scan (saves ~650k transcendentals per clip per iteration)
+    cos_ph = jnp.cos(phase)
+    sin_ph = jnp.sin(phase)
+
+    prec = _precision(cfg.matmul_precision)
+
+    if cfg.use_matmul_dft:
+        # Fast path: the framed FFTs of the round trip as banded DFT
+        # matmuls on the MXU.  Two structural savings over an FFT:
+        # (a) only the 225 in-band rows of the spectrogram change between
+        #     iterations, so the out-of-band contribution to the ISTFT is a
+        #     constant hoisted out of the scan;
+        # (b) the re-analysis STFT feeding the detector is zeroed outside
+        #     the band anyway, so only in-band Re/Im columns are computed.
+        A, Bm = irfft_basis(n_fft)
+        C, S = rfft_basis(n_fft)
+        wvec = window.astype(np.float32)
+        Aw = jnp.asarray(A * wvec[None, :])   # synthesis window folded in
+        Bw = jnp.asarray(Bm * wvec[None, :])
+        C_in = jnp.asarray(C[:, lo:hi])
+        S_in = jnp.asarray(S[:, lo:hi])
+
+        re_full = mag * cos_ph
+        im_full = mag * sin_ph
+        # constant (out-of-band) part of the windowed ISTFT frames
+        frames_const = (
+            jnp.matmul(re_full[:lo].T, Aw[:lo], precision=prec)
+            + jnp.matmul(re_full[hi:].T, Aw[hi:], precision=prec)
+            + jnp.matmul(im_full[:lo].T, Bw[:lo], precision=prec)
+            + jnp.matmul(im_full[hi:].T, Bw[hi:], precision=prec)
+        )
+        cos_in = cos_ph[lo:hi]
+        sin_in = sin_ph[lo:hi]
+        Aw_in = Aw[lo:hi]
+        Bw_in = Bw[lo:hi]
+        t_frames = mag.shape[-1]
+
+        def objective(coeffs):
+            re_in = coeffs * cos_in
+            im_in = coeffs * sin_in
+            frames = (
+                frames_const
+                + jnp.matmul(re_in.T, Aw_in, precision=prec)
+                + jnp.matmul(im_in.T, Bw_in, precision=prec)
+            )
+            y = peak_normalize(istft_synthesis(frames, n_fft, hop, window))
+            fr2 = stft_frames(peak_normalize(y), n_fft, hop, window)
+            re2 = jnp.matmul(fr2, C_in, precision=prec)
+            im2 = jnp.matmul(fr2, S_in, precision=prec)
+            m2_in = jnp.sqrt(re2 * re2 + im2 * im2).T  # (n_band, T)
+            m2 = jnp.concatenate(
+                [
+                    jnp.zeros((lo, t_frames), m2_in.dtype),
+                    m2_in,
+                    jnp.zeros((mag.shape[0] - hi, t_frames), m2_in.dtype),
+                ],
+                axis=0,
+            )
+            pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
+            return loss_fn(pred, wm)
+
+    else:
+
+        def objective(coeffs):
+            m = _band_concat(mag, coeffs, lo, hi)
+            # Full ISTFT->STFT round trip, differentiated through
+            # (reference :49-67: post pipeline ends and pre pipeline starts
+            # with a peak-normalize, hence the double normalization).
+            z = jax.lax.complex(m * cos_ph, m * sin_ph)
+            y = peak_normalize(istft(z, n_fft, hop, window))
+            m2, _ = magphase(stft(peak_normalize(y), n_fft, hop, window))
+            m2 = _band_zero(m2, lo, hi)
+            pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
+            return loss_fn(pred, wm)
 
     grad_fn = jax.value_and_grad(objective)
 
@@ -140,7 +215,7 @@ def embed_core(
         coeffs0,
     )
     (coeffs, _, _, best_loss, best_coeffs), losses = jax.lax.scan(
-        body, init, None, length=cfg.num_iterations
+        body, init, None, length=cfg.num_iterations, unroll=cfg.scan_unroll
     )
 
     # Rebuild output from the original magnitude + best coefficients

@@ -62,12 +62,29 @@ def _reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 def stft_frames(
     x: jnp.ndarray, n_fft: int, hop_length: int, window: jnp.ndarray | np.ndarray
 ) -> jnp.ndarray:
-    """Center-pad, frame and window a 1-D signal -> (T, n_fft) real frames."""
+    """Center-pad, frame and window a 1-D signal -> (T, n_fft) real frames.
+
+    When ``hop | n_fft`` framing is expressed as ``r = n_fft/hop`` static
+    slices of a (T+r-1, hop) reshape instead of a (T, n_fft) gather: the
+    gather's VJP is a huge scatter-add that dominated the embed loop's
+    backward pass on TPU; the slice form differentiates into cheap
+    pad+adds.
+    """
     length = x.shape[-1]
+    t = num_frames(length, hop_length)
     xp = _reflect_pad(x, n_fft // 2)
+    w = jnp.asarray(window, dtype=x.dtype)
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        rows = xp[..., : (t - 1 + r) * hop_length].reshape(
+            *x.shape[:-1], t - 1 + r, hop_length
+        )
+        frames = jnp.concatenate(
+            [rows[..., k : k + t, :] for k in range(r)], axis=-1
+        )
+        return frames * w
     idx = _frame_indices(length, n_fft, hop_length)
-    frames = xp[..., idx]  # (..., T, n_fft) gather
-    return frames * jnp.asarray(window, dtype=x.dtype)
+    return xp[..., idx] * w
 
 
 def stft(
@@ -155,15 +172,53 @@ def istft(
     if isinstance(window, str):
         window = get_window(window, win_length or n_fft)
     window = np.asarray(window)
-    t = spec.shape[-1]
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
     frames = frames * jnp.asarray(window, dtype=frames.dtype)
-    y = overlap_add(frames, hop_length)
+    return istft_synthesis(frames, n_fft, hop_length, window)
+
+
+def istft_synthesis(
+    wframes: jnp.ndarray, n_fft: int, hop_length: int, window: np.ndarray
+) -> jnp.ndarray:
+    """OLA + center-crop + envelope division of already-windowed time
+    frames (..., T, n_fft) — the back half of :func:`istft`, exposed so the
+    fast embed path can substitute MXU DFT matmuls for the irfft."""
+    t = wframes.shape[-2]
+    y = overlap_add(wframes, hop_length)
     pad = n_fft // 2
     out_len = istft_length(t, hop_length)
     y = y[..., pad : pad + out_len]
-    env = _ola_envelope(tuple(window.tolist()), n_fft, hop_length, t)
+    env = _ola_envelope(tuple(np.asarray(window).tolist()), n_fft, hop_length, t)
     return y / jnp.asarray(env, dtype=y.dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def rfft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag rFFT basis matrices (n_fft, n_fft//2+1), float32.
+
+    ``frames @ C`` and ``frames @ S`` give Re/Im of the rFFT — the MXU
+    formulation of the framed FFT used by the fast embed path (the per-bin
+    magnitude path only needs a 225-row band, where an FFT must compute all
+    513 bins).
+    """
+    eye = np.eye(n_fft)
+    M = np.fft.rfft(eye, axis=-1)
+    return (
+        np.ascontiguousarray(M.real, dtype=np.float32),
+        np.ascontiguousarray(M.imag, dtype=np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def irfft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse basis (n_fft//2+1, n_fft): ``Re @ A + Im @ B`` == irfft(Z)."""
+    f = n_fft // 2 + 1
+    A = np.fft.irfft(np.eye(f), n=n_fft, axis=-1)
+    B = np.fft.irfft(1j * np.eye(f), n=n_fft, axis=-1)
+    return (
+        np.ascontiguousarray(A, dtype=np.float32),
+        np.ascontiguousarray(B, dtype=np.float32),
+    )
 
 
 def peak_normalize(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,121 @@
+"""Driver benchmark: clips/sec/chip for embed+detect of 10 s 44.1 kHz clips.
+
+Workload (BASELINE.json primary metric): a batch of B ten-second 44.1 kHz
+mono clips is polyphase-resampled to the model's 16 kHz on device, embedded
+(full 400-iteration adversarial solve, vmapped into one compiled program),
+and re-detected.  Steady-state throughput is timed on the second run
+(first run pays jit compilation).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the measured PyTorch-reference CPU oracle
+(BASELINE_MEASURED.json, tools/baseline_torch.py; 33.8 s/clip on this
+machine's single CPU core).
+
+Usage: python bench.py [--batch 32] [--full]  (--full adds a BER check)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def make_clips(batch: int, seconds: float = 10.0, sr: int = 44100) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    clips = []
+    for i in range(batch):
+        f0 = 100.0 + 10.0 * (i % 7) + 30.0 * np.sin(2 * np.pi * (2.0 + 0.1 * i) * t)
+        ph = np.cumsum(2 * np.pi * f0 / sr)
+        x = sum(np.cos(k * ph + 0.37 * i) / k for k in range(1, 25))
+        x *= 0.4 + 0.6 * np.clip(np.sin(2 * np.pi * 3.1 * t + i), 0, None)
+        x += 0.02 * rng.standard_normal(len(t))
+        clips.append((x / np.max(np.abs(x))).astype(np.float32))
+    return np.stack(clips)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--full", action="store_true", help="verify BER too")
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aware_tpu.config import AwareConfig
+    from aware_tpu.embed import embed_batch
+    from aware_tpu.models import init_params
+    from aware_tpu.models.detector import detect_values
+    from aware_tpu.ops.resample import resample_poly
+
+    cfg = AwareConfig()
+    params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
+
+    clips44 = make_clips(args.batch)
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, size=(args.batch, 20)).astype(np.int32)
+    wms = (2 * bits - 1).astype(np.float32)
+
+    @jax.jit
+    def pipeline(p, audio44, w):
+        audio16 = resample_poly(audio44, 160, 441)
+        res = embed_batch(p, audio16, w, cfg)
+        values = jax.vmap(
+            lambda a: detect_values(p, a, cfg.detection_net,
+                                    matmul_precision=cfg.matmul_precision)
+        )(res.audio)
+        return res.audio, values
+
+    a44 = jnp.asarray(clips44)
+    w = jnp.asarray(wms)
+
+    t0 = time.time()
+    out_audio, values = pipeline(params, a44, w)
+    _ = np.asarray(values)  # host transfer: the only reliable sync on axon
+    compile_and_first = time.time() - t0
+
+    times = []
+    for r in range(args.repeats):
+        # fresh input each repeat: the TPU tunnel elides re-execution of
+        # identical buffers, which would fake a 0-second run
+        a_r = jnp.asarray(clips44 * (1.0 + 1e-6 * (r + 1)))
+        t0 = time.time()
+        out_audio, values = pipeline(params, a_r, w)
+        _ = np.asarray(values)
+        times.append(time.time() - t0)
+    steady = min(times)
+    clips_per_sec = args.batch / steady
+
+    baseline_path = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())["clips_per_sec"]
+        vs_baseline = clips_per_sec / base
+
+    if args.full:
+        detected = (np.asarray(values) > 0).astype(np.int32)
+        ber = float(np.mean(detected != bits) * 100)
+        print(f"# BER after embed+detect: {ber:.3f}%  "
+              f"(compile+first: {compile_and_first:.1f}s, steady: {steady:.2f}s)",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "clips/sec/chip embed+detect (10s @44.1kHz)",
+        "value": round(clips_per_sec, 4),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
