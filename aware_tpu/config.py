@@ -104,6 +104,9 @@ class AwareConfig:
     # on the MXU (exploits that only in-band spectrogram rows change).
     # False falls back to the rfft/irfft reference-shaped graph.
     use_matmul_dft: bool = True
+    # Fuse the OLA/crop/envelope/double-peak-norm chain into one Pallas
+    # kernel (custom VJP); requires use_matmul_dft.
+    use_pallas_ola: bool = False
 
     def __post_init__(self) -> None:
         if self.window not in ("hann", "hamming"):

@@ -155,6 +155,8 @@ def embed_core(
         Bw_in = Bw[lo:hi]
         t_frames = mag.shape[-1]
 
+        window_key = tuple(window.tolist()) if cfg.use_pallas_ola else None
+
         def objective(coeffs):
             re_in = coeffs * cos_in
             im_in = coeffs * sin_in
@@ -163,8 +165,15 @@ def embed_core(
                 + jnp.matmul(re_in.T, Aw_in, precision=prec)
                 + jnp.matmul(im_in.T, Bw_in, precision=prec)
             )
-            y = peak_normalize(istft_synthesis(frames, n_fft, hop, window))
-            fr2 = stft_frames(peak_normalize(y), n_fft, hop, window)
+            if cfg.use_pallas_ola:
+                from aware_tpu.ops.pallas import ola_normalize
+
+                y2 = ola_normalize(frames[None], n_fft, hop, window_key)[0]
+            else:
+                y2 = peak_normalize(
+                    peak_normalize(istft_synthesis(frames, n_fft, hop, window))
+                )
+            fr2 = stft_frames(y2, n_fft, hop, window)
             re2 = jnp.matmul(fr2, C_in, precision=prec)
             im2 = jnp.matmul(fr2, S_in, precision=prec)
             m2_in = jnp.sqrt(re2 * re2 + im2 * im2).T  # (n_band, T)
