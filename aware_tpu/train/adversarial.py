@@ -1,0 +1,410 @@
+"""Adversarial joint training: learned amortized embedder + keyed detector.
+
+New capability beyond the reference (which never trains anything — SURVEY
+§0): an **amortized embedder network** predicts the in-band magnitude
+perturbation in ONE forward pass, replacing the 400-iteration per-clip
+optimization at inference time.  It is trained adversarially through the
+differentiable attack layer against the (frozen, keyed) detector:
+
+    mag --E(mag, pattern)--> perturbed mag (inside the +/- tolerance_db
+    box, exactly the solver's constraint) --ISTFT--> audio
+    --random differentiable attack--> attacked audio --STFT-->
+    --D (frozen keyed CNN)--> bit values
+    loss = detection loss + lambda_percept * in-band log-magnitude MSE
+
+Training the detector jointly (``train_detector=True``) is supported for
+re-keying scenarios; the default keeps the reference's frozen key so
+amortized embeds stay detector-compatible with solver embeds.
+
+Data parallel: the train step is a pure function jit-able with a batch
+sharded over a ``data`` mesh axis (params replicated, psum-free — optax
+grads reduce inside jit via the mean loss).  Checkpointing via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Callable, Mapping, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aware_tpu.config import AwareConfig, in_band_bins
+from aware_tpu.models.detector import DetectorParams, detector_apply
+from aware_tpu.ops.stft import (
+    istft,
+    magphase,
+    peak_normalize,
+    polar,
+    stft,
+)
+from aware_tpu.ops.windows import get_window
+
+
+# ---------------------------------------------------------------- model ---
+
+@dataclasses.dataclass(frozen=True)
+class AmortizedEmbedderConfig:
+    hidden: tuple[int, ...] = (256, 256)
+    seed: int = 77
+
+    def feature_dim(self, n_band: int, n_bits: int) -> int:
+        return n_band + n_bits
+
+
+def init_embedder_params(
+    ecfg: AmortizedEmbedderConfig, n_band: int, n_bits: int
+) -> dict[str, jnp.ndarray]:
+    """1x1-conv stack over frequency features: (n_band + n_bits) -> hidden...
+    -> n_band, xavier init."""
+    rng = jax.random.PRNGKey(ecfg.seed)
+    dims = (ecfg.feature_dim(n_band, n_bits), *ecfg.hidden, n_band)
+    params: dict[str, jnp.ndarray] = {}
+    for i in range(len(dims) - 1):
+        rng, sub = jax.random.split(rng)
+        bound = float(np.sqrt(6.0 / (dims[i] + dims[i + 1])))
+        params[f"w{i}"] = jax.random.uniform(
+            sub, (dims[i + 1], dims[i]), jnp.float32, -bound, bound
+        )
+        params[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
+    return params
+
+
+def embedder_apply(
+    params: Mapping[str, jnp.ndarray],
+    band_mag: jnp.ndarray,
+    pattern: jnp.ndarray,
+    tolerance_db: float,
+) -> jnp.ndarray:
+    """Single clip: in-band magnitude (n_band, T) + bipolar pattern (n_bits,)
+    -> perturbed magnitude inside the solver's box constraint
+    (reference box: multibit_embedder.py:157-160)."""
+    n_band, t = band_mag.shape
+    logmag = jnp.log1p(band_mag)
+    logmag = (logmag - jnp.mean(logmag)) / (jnp.std(logmag) + 1e-6)
+    pat = jnp.broadcast_to(pattern[:, None], (pattern.shape[0], t))
+    x = jnp.concatenate([logmag, pat], axis=0)
+    n_layers = len([k for k in params if k.startswith("w")])
+    for i in range(n_layers):
+        x = params[f"w{i}"] @ x + params[f"b{i}"][:, None]
+        if i < n_layers - 1:
+            x = jax.nn.gelu(x)
+    delta_max = band_mag * (10.0 ** (-tolerance_db / 20.0))
+    perturbed = band_mag + jnp.tanh(x) * delta_max
+    return jnp.maximum(perturbed, 0.0)
+
+
+# ------------------------------------------------- differentiable attacks ---
+
+def _attack_none(audio, key):
+    return audio
+
+
+def _attack_noise(audio, key):
+    snr_db = jax.random.uniform(key, (), minval=20.0, maxval=40.0)
+    p = jnp.mean(audio**2)
+    sigma = jnp.sqrt(p / (10.0 ** (snr_db / 10.0)))
+    return audio + sigma * jax.random.normal(key, audio.shape)
+
+
+def _attack_quantize(audio, key):
+    """Differentiable PCM quantization (straight-through rounding)."""
+    bits = 8.0 + 8.0 * jax.random.bernoulli(key).astype(jnp.float32)
+    scale = 2.0 ** (bits - 1.0) - 1.0
+    a = audio / (jnp.max(jnp.abs(audio)) + 1e-8)
+    q = a * scale
+    q = q + jax.lax.stop_gradient(jnp.round(q) - q)
+    return q / scale
+
+
+def _attack_lowpass(audio, key):
+    """FIR lowpass with a random 3.5-5 kHz cutoff (windowed sinc, 129 taps)."""
+    n = 129
+    t = jnp.arange(n) - (n - 1) / 2.0
+    fc = jax.random.uniform(key, (), minval=3500.0, maxval=5000.0) / 16000.0
+    h = 2.0 * fc * jnp.sinc(2.0 * fc * t)
+    h = h * jnp.hanning(n)
+    h = h / jnp.sum(h)
+    y = jax.lax.conv_general_dilated(
+        audio[None, None, :], h[::-1][None, None, :],
+        window_strides=(1,), padding=[(n // 2, n // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y[0, 0, : audio.shape[-1]]
+
+
+def _attack_dropout(audio, key):
+    """Zero a random 5% window (SampleSupression analogue)."""
+    L = audio.shape[-1]
+    d = L // 20
+    start = jax.random.randint(key, (), 0, L - d)
+    idx = jnp.arange(L)
+    mask = ((idx < start) | (idx >= start + d)).astype(audio.dtype)
+    return audio * mask
+
+
+DIFFERENTIABLE_ATTACKS: tuple[Callable, ...] = (
+    _attack_none,
+    _attack_noise,
+    _attack_quantize,
+    _attack_lowpass,
+    _attack_dropout,
+)
+
+
+def apply_random_attack(audio: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Pick one differentiable attack at random (lax.switch — traceable)."""
+    k_pick, k_attack = jax.random.split(key)
+    idx = jax.random.randint(k_pick, (), 0, len(DIFFERENTIABLE_ATTACKS))
+    return jax.lax.switch(
+        idx, [lambda a, f=f: f(a, k_attack) for f in DIFFERENTIABLE_ATTACKS], audio
+    )
+
+
+# ------------------------------------------------------------- training ---
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    learning_rate: float = 3e-4
+    lambda_percept: float = 1.0
+    train_detector: bool = False
+    steps: int = 1000
+    embedder: AmortizedEmbedderConfig = dataclasses.field(
+        default_factory=AmortizedEmbedderConfig
+    )
+
+
+class TrainState(NamedTuple):
+    e_params: Any
+    d_params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(tcfg.learning_rate, weight_decay=1e-5)
+
+
+def init_train_state(
+    cfg: AwareConfig, tcfg: TrainConfig, d_params: DetectorParams
+) -> TrainState:
+    lo, hi = in_band_bins(
+        cfg.detection_net.sample_rate, cfg.frame_length, cfg.embedding_bands
+    )
+    e_params = init_embedder_params(
+        tcfg.embedder, hi - lo, cfg.detection_net.output_length
+    )
+    d_params = {k: jnp.asarray(v) for k, v in d_params.items()}
+    trainable = (e_params, d_params) if tcfg.train_detector else e_params
+    opt_state = _optimizer(tcfg).init(trainable)
+    return TrainState(e_params, d_params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def _clip_loss(cfg, e_params, d_params, audio, pattern, key):
+    """One clip's adversarial loss (vmapped over the batch)."""
+    n_fft, hop = cfg.frame_length, cfg.hop_length
+    window = get_window(cfg.window, cfg.win_length)
+    lo, hi = in_band_bins(
+        cfg.detection_net.sample_rate, n_fft, cfg.embedding_bands
+    )
+    mag, phase = magphase(stft(peak_normalize(audio), n_fft, hop, window))
+    band = mag[lo:hi]
+    band_new = embedder_apply(e_params, band, pattern, cfg.tolerance_db)
+    wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
+    wm_audio = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
+
+    attacked = apply_random_attack(wm_audio, key)
+
+    m2, _ = magphase(stft(peak_normalize(attacked), n_fft, hop, window))
+    t2 = m2.shape[-1]
+    m2 = jnp.concatenate(
+        [
+            jnp.zeros((lo, t2), m2.dtype),
+            m2[lo:hi],
+            jnp.zeros((m2.shape[0] - hi, t2), m2.dtype),
+        ]
+    )
+    pred = detector_apply(d_params, m2, cfg.detection_net, cfg.matmul_precision)
+
+    det_loss = jnp.mean((pred - pattern) ** 2) - 0.1 * jnp.mean(jnp.abs(pred))
+    percept = jnp.mean((jnp.log1p(band_new) - jnp.log1p(band)) ** 2)
+    soft_ber = jnp.mean(jax.nn.sigmoid(-4.0 * pred * pattern))
+    return det_loss, percept, soft_ber
+
+
+def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
+    """Returns jit-able ``step(state, audios, patterns, key) -> (state, metrics)``."""
+    opt = _optimizer(tcfg)
+
+    def loss_fn(trainable, d_frozen, audios, patterns, key):
+        if tcfg.train_detector:
+            e_params, d_params = trainable
+        else:
+            e_params, d_params = trainable, d_frozen
+        keys = jax.random.split(key, audios.shape[0])
+        det, percept, soft_ber = jax.vmap(
+            lambda a, p, k: _clip_loss(cfg, e_params, d_params, a, p, k)
+        )(audios, patterns, keys)
+        loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)
+        return loss, {
+            "loss": loss,
+            "det_loss": jnp.mean(det),
+            "percept": jnp.mean(percept),
+            "soft_ber": jnp.mean(soft_ber),
+        }
+
+    def step(state: TrainState, audios, patterns, key):
+        trainable = (
+            (state.e_params, state.d_params)
+            if tcfg.train_detector
+            else state.e_params
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, state.d_params, audios, patterns, key
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        if tcfg.train_detector:
+            e_params, d_params = new_trainable
+        else:
+            e_params, d_params = new_trainable, state.d_params
+        return (
+            TrainState(e_params, d_params, opt_state, state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+train_step = make_train_step  # alias exported name
+
+
+def train_amortized_embedder(
+    cfg: AwareConfig,
+    tcfg: TrainConfig,
+    d_params: DetectorParams,
+    clip_sampler: Callable[[int], np.ndarray],
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 200,
+    mesh=None,
+) -> tuple[TrainState, list[dict[str, float]]]:
+    """Run the adversarial training loop.
+
+    ``clip_sampler(step) -> (batch_size, L) float32`` supplies audio.  With
+    ``mesh`` given, the batch is sharded over its ``data`` axis.
+    """
+    from aware_tpu.utils.logger import logger
+
+    state = init_train_state(cfg, tcfg, d_params)
+    step_fn = make_train_step(cfg, tcfg)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+        jit_step = jax.jit(step_fn, in_shardings=(None, data_sharding, data_sharding, None))
+    else:
+        jit_step = jax.jit(step_fn)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    history: list[dict[str, float]] = []
+    n_bits = cfg.detection_net.output_length
+    for i in range(tcfg.steps):
+        audios = jnp.asarray(clip_sampler(i), jnp.float32)
+        patterns = jnp.asarray(
+            rng.integers(0, 2, (audios.shape[0], n_bits)) * 2 - 1, jnp.float32
+        )
+        key, sub = jax.random.split(key)
+        state, metrics = jit_step(state, audios, patterns, sub)
+        history.append({k: float(v) for k, v in metrics.items()})
+        if i % 50 == 0:
+            logger.info(
+                "train step %d: loss=%.4f soft_ber=%.4f percept=%.5f",
+                i, history[-1]["loss"], history[-1]["soft_ber"],
+                history[-1]["percept"],
+            )
+        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state)
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, state)
+    return state, history
+
+
+# ------------------------------------------------------------ inference ---
+
+def amortized_embed(
+    state_or_eparams,
+    d_params: DetectorParams,
+    audio: np.ndarray,
+    pattern: np.ndarray,
+    cfg: AwareConfig,
+) -> np.ndarray:
+    """One-shot embed with the trained network (no inner optimization).
+
+    Same service contract as the solver path: peak-normalized output of
+    length (T-1)*hop.
+    """
+    e_params = (
+        state_or_eparams.e_params
+        if isinstance(state_or_eparams, TrainState)
+        else state_or_eparams
+    )
+    n_fft, hop = cfg.frame_length, cfg.hop_length
+    window = get_window(cfg.window, cfg.win_length)
+    lo, hi = in_band_bins(
+        cfg.detection_net.sample_rate, n_fft, cfg.embedding_bands
+    )
+
+    @jax.jit
+    def run(ep, a, p):
+        mag, phase = magphase(stft(peak_normalize(a), n_fft, hop, window))
+        band_new = embedder_apply(ep, mag[lo:hi], p, cfg.tolerance_db)
+        wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
+        return peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
+
+    return np.asarray(
+        run(e_params, jnp.asarray(audio, jnp.float32), jnp.asarray(pattern, jnp.float32))
+    )
+
+
+# ---------------------------------------------------------- checkpoints ---
+
+def save_checkpoint(path: str | pathlib.Path, state: TrainState) -> None:
+    """Orbax checkpoint of the full train state."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path / f"step_{int(state.step)}",
+            jax.tree.map(np.asarray, state._asdict()),
+            force=True,
+        )
+
+
+def restore_checkpoint(
+    path: str | pathlib.Path, step: int | None = None
+) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    if step is None:
+        steps = sorted(
+            int(p.name.split("_")[1]) for p in path.glob("step_*") if p.is_dir()
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        step = steps[-1]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(path / f"step_{step}")
+    return TrainState(
+        e_params=tree["e_params"],
+        d_params=tree["d_params"],
+        opt_state=tree["opt_state"],
+        step=jnp.asarray(tree["step"]),
+    )

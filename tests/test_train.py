@@ -1,0 +1,115 @@
+"""Adversarial training loop tests (amortized embedder, BASELINE config 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aware_tpu.config import AwareConfig
+from aware_tpu.eval import synthesize_speech_clip
+from aware_tpu.models import detect_values, init_params
+from aware_tpu.train import (
+    AmortizedEmbedderConfig,
+    TrainConfig,
+    amortized_embed,
+    init_train_state,
+    restore_checkpoint,
+    save_checkpoint,
+    train_amortized_embedder,
+)
+from aware_tpu.train.adversarial import make_train_step
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return AwareConfig()
+
+
+@pytest.fixture(scope="module")
+def d_params(cfg):
+    return init_params(cfg.detection_net)
+
+
+def _sampler(batch, length=16000):
+    clips = np.stack(
+        [synthesize_speech_clip(s, seconds=length / 16000) for s in range(batch)]
+    )
+
+    def sample(step):
+        return np.roll(clips, step * 17, axis=1)
+
+    return sample
+
+
+def test_train_step_runs_and_updates(cfg, d_params):
+    tcfg = TrainConfig(batch_size=2, embedder=AmortizedEmbedderConfig(hidden=(64,)))
+    state = init_train_state(cfg, tcfg, d_params)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    audios = jnp.asarray(_sampler(2)(0))
+    patterns = jnp.asarray((np.random.default_rng(0).integers(0, 2, (2, 20)) * 2 - 1), jnp.float32)
+    w_before = np.asarray(state.e_params["w0"]).copy()
+    state2, metrics = step(state, audios, patterns, jax.random.PRNGKey(0))
+    assert np.isfinite(metrics["loss"])
+    assert int(state2.step) == 1
+    assert not np.array_equal(np.asarray(state2.e_params["w0"]), w_before)
+    # frozen detector untouched by default
+    np.testing.assert_array_equal(
+        np.asarray(state2.d_params["conv0_w"]), np.asarray(d_params["conv0_w"])
+    )
+
+
+@pytest.mark.slow
+def test_training_reduces_loss(cfg, d_params):
+    tcfg = TrainConfig(
+        batch_size=4, steps=40, learning_rate=1e-3,
+        embedder=AmortizedEmbedderConfig(hidden=(64,)),
+        lambda_percept=0.1,
+    )
+    state, history = train_amortized_embedder(
+        cfg, tcfg, d_params, _sampler(4), seed=0
+    )
+    first = np.mean([h["soft_ber"] for h in history[:5]])
+    last = np.mean([h["soft_ber"] for h in history[-5:]])
+    assert last < first, (first, last)
+
+
+def test_amortized_embed_contract(cfg, d_params):
+    tcfg = TrainConfig(batch_size=2, embedder=AmortizedEmbedderConfig(hidden=(32,)))
+    state = init_train_state(cfg, tcfg, d_params)
+    clip = synthesize_speech_clip(0)
+    pattern = (np.arange(20) % 2 * 2 - 1).astype(np.float32)
+    out = amortized_embed(state, d_params, clip, pattern, cfg)
+    assert out.shape == ((len(clip) // 256) * 256,)
+    assert np.max(np.abs(out)) <= 1.0 + 1e-5
+    # box constraint: in-band magnitudes moved at most ~tolerance_db
+    from aware_tpu.ops.stft import magphase, peak_normalize, stft
+
+    m0, _ = magphase(stft(peak_normalize(jnp.asarray(clip)), 1024, 256))
+    m1, _ = magphase(stft(peak_normalize(jnp.asarray(out)), 1024, 256))
+    # (loose check — the ISTFT/STFT round trip redistributes energy)
+    assert float(jnp.mean(jnp.abs(m1[32:257] - m0[32:257, : m1.shape[1]]))) < 0.5
+
+
+def test_checkpoint_roundtrip(cfg, d_params, tmp_path):
+    tcfg = TrainConfig(batch_size=2, embedder=AmortizedEmbedderConfig(hidden=(32,)))
+    state = init_train_state(cfg, tcfg, d_params)
+    save_checkpoint(tmp_path, state)
+    restored = restore_checkpoint(tmp_path)
+    assert int(restored.step) == 0
+    np.testing.assert_allclose(
+        np.asarray(restored.e_params["w0"]), np.asarray(state.e_params["w0"])
+    )
+
+
+@pytest.mark.multichip
+def test_train_step_sharded(cfg, d_params):
+    from aware_tpu.parallel import get_mesh
+
+    mesh = get_mesh(("data",))
+    tcfg = TrainConfig(batch_size=8, steps=2, embedder=AmortizedEmbedderConfig(hidden=(32,)))
+    state, history = train_amortized_embedder(
+        cfg, tcfg, d_params, _sampler(8, 8000), seed=0, mesh=mesh
+    )
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
