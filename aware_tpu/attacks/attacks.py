@@ -270,6 +270,27 @@ class HighPassFilter(Attack):
 
 
 @dataclasses.dataclass
+class SpeedChange(Attack):
+    """Playback-rate change (tape/vinyl speed): resampling desync that
+    shifts both time base and pitch (TPU-rebuild extension; recoverable by
+    service.robust.detect_watermark_robust)."""
+
+    rate: float = 1.05
+
+    def __post_init__(self):
+        self.name = f"speed_{self.rate}"
+
+    def apply(self, audio, sr, key=None):
+        frac = __import__("fractions").Fraction(self.rate).limit_denominator(64)
+        return np.asarray(
+            resample_poly(
+                jnp.asarray(audio, jnp.float32), frac.numerator, frac.denominator
+            ),
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass
 class GaussianNoise(Attack):
     """Additive white noise at a target SNR (TPU-rebuild extension; the
     driver's north star lists additive noise among the edit simulations)."""

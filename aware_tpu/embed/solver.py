@@ -137,8 +137,9 @@ def embed_core(
         wvec = window.astype(np.float32)
         Aw = jnp.asarray(A * wvec[None, :])   # synthesis window folded in
         Bw = jnp.asarray(Bm * wvec[None, :])
-        C_in = jnp.asarray(C[:, lo:hi])
-        S_in = jnp.asarray(S[:, lo:hi])
+        CS_in = jnp.asarray(
+            np.concatenate([C[:, lo:hi], S[:, lo:hi]], axis=1)
+        )  # (n_fft, 2nb)
 
         re_full = mag * cos_ph
         im_full = mag * sin_ph
@@ -151,20 +152,17 @@ def embed_core(
         )
         cos_in = cos_ph[lo:hi]
         sin_in = sin_ph[lo:hi]
-        Aw_in = Aw[lo:hi]
-        Bw_in = Bw[lo:hi]
+        # stack Re/Im bases so each DFT direction is ONE MXU matmul
+        AB_in = jnp.concatenate([Aw[lo:hi], Bw[lo:hi]], axis=0)  # (2nb, n_fft)
         t_frames = mag.shape[-1]
 
         window_key = tuple(window.tolist()) if cfg.use_pallas_ola else None
 
         def objective(coeffs):
-            re_in = coeffs * cos_in
-            im_in = coeffs * sin_in
-            frames = (
-                frames_const
-                + jnp.matmul(re_in.T, Aw_in, precision=prec)
-                + jnp.matmul(im_in.T, Bw_in, precision=prec)
-            )
+            reim = jnp.concatenate(
+                [coeffs * cos_in, coeffs * sin_in], axis=0
+            )  # (2nb, T)
+            frames = frames_const + jnp.matmul(reim.T, AB_in, precision=prec)
             if cfg.use_pallas_ola:
                 from aware_tpu.ops.pallas import ola_normalize
 
@@ -174,8 +172,8 @@ def embed_core(
                     peak_normalize(istft_synthesis(frames, n_fft, hop, window))
                 )
             fr2 = stft_frames(y2, n_fft, hop, window)
-            re2 = jnp.matmul(fr2, C_in, precision=prec)
-            im2 = jnp.matmul(fr2, S_in, precision=prec)
+            cs2 = jnp.matmul(fr2, CS_in, precision=prec)  # (T, 2nb)
+            re2, im2 = cs2[:, : hi - lo], cs2[:, hi - lo :]
             m2_in = jnp.sqrt(re2 * re2 + im2 * im2).T  # (n_band, T)
             m2 = jnp.concatenate(
                 [

@@ -8,8 +8,10 @@ from aware_tpu.service.api import (
     detect_watermark_batch,
 )
 from aware_tpu.service.codec import encode_pattern, decode_pattern
+from aware_tpu.service.robust import detect_watermark_robust
 
 __all__ = [
+    "detect_watermark_robust",
     "AWAREEmbedder",
     "AWAREDetector",
     "load",
