@@ -89,10 +89,14 @@ def embed_core(
     audio: jnp.ndarray,
     watermark: jnp.ndarray,
     cfg: AwareConfig,
+    init_coeffs: jnp.ndarray | None = None,
 ) -> EmbedResult:
     """Pure single-clip embed: waveform (L,) + bipolar pattern -> EmbedResult.
 
     Trace-time constants: window, band bins, optimizer/scheduler/loss.
+    ``init_coeffs`` (n_band, T) warm-starts the optimization (e.g. from the
+    amortized embedder) instead of the reference's unperturbed magnitudes;
+    it is clipped into the tolerance box first.
     """
     n_fft, hop = cfg.frame_length, cfg.hop_length
     window = get_window(cfg.window, cfg.win_length)
@@ -214,12 +218,17 @@ def embed_core(
         best_coeffs = jnp.where(better, new_coeffs, best_coeffs)
         return (new_coeffs, opt_state, sched_state, best_loss, best_coeffs), loss
 
+    start = (
+        coeffs0
+        if init_coeffs is None
+        else jnp.clip(init_coeffs.astype(mag.dtype), lower, upper)
+    )
     init = (
-        coeffs0,
-        opt.init(coeffs0),
+        start,
+        opt.init(start),
         sched.init(base_lr),
         jnp.asarray(jnp.inf, mag.dtype),
-        coeffs0,
+        start,
     )
     (coeffs, _, _, best_loss, best_coeffs), losses = jax.lax.scan(
         body, init, None, length=cfg.num_iterations, unroll=cfg.scan_unroll

@@ -103,3 +103,25 @@ def test_outcome_parity_with_torch_oracle(params, cfg, speechlike):
     # waveform proximity (same box constraint, same objective)
     snr = 10 * np.log10(np.mean(theirs**2) / (np.mean((ours - theirs) ** 2) + 1e-12))
     assert snr > 10.0, f"embed outputs diverged: {snr:.1f} dB"
+
+
+def test_warm_start_init_coeffs(params, speechlike):
+    """Warm-starting the solver from given coefficients clips them into the
+    tolerance box and converges at least as well as the cold start."""
+    import jax.numpy as jnp
+    from aware_tpu.config import in_band_bins
+    from aware_tpu.embed.solver import embed_core
+    from aware_tpu.ops.stft import magphase, peak_normalize, stft
+
+    cfg = AwareConfig().replace(num_iterations=20)
+    wm = jnp.asarray((2 * BITS - 1).astype(np.float32))
+    x = jnp.asarray(speechlike)
+    mag, _ = magphase(stft(peak_normalize(x), 1024, 256))
+    lo, hi = in_band_bins(16000, 1024, (500.0, 4000.0))
+    # deliberately out-of-box init: doubled magnitudes
+    init = mag[lo:hi] * 2.0
+    res = embed_core(params, x, wm, cfg, init_coeffs=init)
+    assert np.isfinite(float(res.best_loss))
+    cold = embed_core(params, x, wm, cfg)
+    # warm start from a clipped far point shouldn't diverge
+    assert float(res.best_loss) < float(cold.best_loss) + 0.5

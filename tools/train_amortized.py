@@ -1,0 +1,149 @@
+"""Train the amortized embedder and evaluate one-shot + warm-start embeds.
+
+Trains against the frozen keyed detector through the differentiable attack
+layer on a stream of synthesized speech clips, then reports:
+
+  * one-shot embed BER (clean + under a quick attack set)
+  * warm-start benefit: solver BER/loss at reduced iteration counts when
+    initialized from the amortized prediction vs the reference cold start
+
+Saves an orbax checkpoint + a flat npz of the embedder params (the npz is
+the deployable artifact, loaded by the service fast path).
+
+Run:  python tools/train_amortized.py [--steps 2000] [--batch 16] [--eval-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from aware_tpu.config import AwareConfig, in_band_bins  # noqa: E402
+from aware_tpu.embed.solver import embed_core  # noqa: E402
+from aware_tpu.eval import synthesize_speech_clip  # noqa: E402
+from aware_tpu.models import detect_values, init_params  # noqa: E402
+from aware_tpu.ops.stft import magphase, peak_normalize, stft  # noqa: E402
+from aware_tpu.ops.windows import get_window  # noqa: E402
+from aware_tpu.train import (  # noqa: E402
+    AmortizedEmbedderConfig,
+    TrainConfig,
+    amortized_embed,
+    save_checkpoint,
+    train_amortized_embedder,
+)
+from aware_tpu.train.adversarial import embedder_apply  # noqa: E402
+
+OUT_DIR = pathlib.Path(__file__).parent.parent / "aware_tpu" / "models" / "_key"
+
+
+def clip_sampler(batch: int, length: int = 32000):
+    def sample(step: int) -> np.ndarray:
+        return np.stack(
+            [
+                synthesize_speech_clip(step * batch + i, seconds=length / 16000)
+                for i in range(batch)
+            ]
+        )
+
+    return sample
+
+
+def eval_state(e_params, d_params, cfg, n_clips=6, seed=900) -> dict:
+    """One-shot and warm-start metrics on held-out clips."""
+    rng = np.random.default_rng(seed)
+    window = get_window(cfg.window, cfg.win_length)
+    lo, hi = in_band_bins(cfg.detection_net.sample_rate, cfg.frame_length,
+                          cfg.embedding_bands)
+    one_shot_bers, snrs = [], []
+    warm: dict[int, list[float]] = {25: [], 50: [], 100: []}
+    cold: dict[int, list[float]] = {25: [], 50: [], 100: []}
+    for i in range(n_clips):
+        clip = synthesize_speech_clip(seed + i)
+        bits = rng.integers(0, 2, 20).astype(np.int32)
+        wm = (2 * bits - 1).astype(np.float32)
+
+        out = amortized_embed(e_params, d_params, clip, wm, cfg)
+        v = np.asarray(detect_values(d_params, jnp.asarray(out)))
+        one_shot_bers.append(float(np.mean((v > 0).astype(int) != bits)) * 100)
+        ref = clip[: len(out)]
+        snrs.append(10 * np.log10(np.mean(ref**2) / (np.mean((out - ref) ** 2) + 1e-12)))
+
+        # warm start: amortized band prediction as solver init
+        mag, _ = magphase(stft(peak_normalize(jnp.asarray(clip)),
+                               cfg.frame_length, cfg.hop_length, window))
+        band_init = embedder_apply(e_params, mag[lo:hi], jnp.asarray(wm),
+                                   cfg.tolerance_db)
+        for iters in warm:
+            c = cfg.replace(num_iterations=iters)
+            rw = embed_core(d_params, jnp.asarray(clip), jnp.asarray(wm), c,
+                            init_coeffs=band_init)
+            vw = np.asarray(detect_values(d_params, rw.audio))
+            warm[iters].append(float(np.mean((vw > 0).astype(int) != bits)) * 100)
+            rc = embed_core(d_params, jnp.asarray(clip), jnp.asarray(wm), c)
+            vc = np.asarray(detect_values(d_params, rc.audio))
+            cold[iters].append(float(np.mean((vc > 0).astype(int) != bits)) * 100)
+
+    return {
+        "one_shot_ber": float(np.mean(one_shot_bers)),
+        "one_shot_snr_db": float(np.mean(snrs)),
+        **{f"warm{k}_ber": float(np.mean(v)) for k, v in warm.items()},
+        **{f"cold{k}_ber": float(np.mean(v)) for k, v in cold.items()},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lambda-percept", type=float, default=0.3)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[384, 384])
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    cfg = AwareConfig()
+    d_params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
+
+    npz_path = OUT_DIR / "amortized_v1.npz"
+    if args.eval_only:
+        with np.load(npz_path) as z:
+            e_params = {k: jnp.asarray(z[k]) for k in z.files}
+        print(json.dumps(eval_state(e_params, d_params, cfg), indent=2))
+        return
+
+    tcfg = TrainConfig(
+        batch_size=args.batch,
+        learning_rate=args.lr,
+        lambda_percept=args.lambda_percept,
+        steps=args.steps,
+        embedder=AmortizedEmbedderConfig(hidden=tuple(args.hidden)),
+    )
+    state, history = train_amortized_embedder(
+        cfg, tcfg, d_params, clip_sampler(args.batch), seed=1,
+        checkpoint_dir=str(OUT_DIR / "amortized_ckpt"),
+    )
+
+    e_params_np = {k: np.asarray(v) for k, v in state.e_params.items()}
+    np.savez_compressed(npz_path, **e_params_np)
+    print(f"saved {npz_path}")
+    save_checkpoint(OUT_DIR / "amortized_ckpt", state)
+
+    metrics = eval_state(state.e_params, d_params, cfg)
+    metrics["final_train"] = history[-1]
+    print(json.dumps(metrics, indent=2))
+    (pathlib.Path(__file__).parent.parent / "AMORTIZED_EVAL.json").write_text(
+        json.dumps(metrics, indent=2)
+    )
+
+
+if __name__ == "__main__":
+    main()
