@@ -144,10 +144,10 @@ class PitchShift(Attack):
     """Pitch shift by cents/100 semitones — the reference's unit quirk
     (5 'cents' -> 0.05 semitones) is preserved (reference: :231-252)."""
 
-    cents: float = 5.0
+    cents: float = 5
 
     def __post_init__(self):
-        self.name = f"ps_{self.cents}"
+        self.name = f"ps_{self.cents}"  # reference names the default "ps_5"
 
     def apply(self, audio, sr, key=None):
         return np.asarray(

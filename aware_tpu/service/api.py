@@ -258,17 +258,25 @@ def embed_watermark_batch(
     watermark_bits: np.ndarray,
     model: AWAREEmbedder,
     check_silence: bool = True,
-) -> np.ndarray:
+    on_silent: str = "raise",
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Embed B patterns into B equal-length mono clips in one compiled
     program (vmapped solver).  audios: (B, L); watermark_bits: (B, n_bits).
 
     Returns (B, (T-1)*hop) watermarked clips, rescaled per the service
-    contract.  Silent clips raise (all-or-nothing, matching the per-clip
-    service semantics); pass check_silence=False for pre-screened data.
+    contract.  Silence handling (per-clip failure isolation for batch jobs):
+
+    * ``on_silent="raise"``: any silent clip raises (all-or-nothing,
+      matching per-clip service semantics);
+    * ``on_silent="mask"``: silent lanes pass through unwatermarked and the
+      call returns ``(out, embedded_mask)`` — one bad clip never poisons a
+      batch.
     """
     audios = np.asarray(audios, dtype=np.float32)
     if audios.ndim != 2:
         raise ValueError("embed_watermark_batch expects (B, L) mono clips")
+    if on_silent not in ("raise", "mask"):
+        raise ValueError("on_silent must be 'raise' or 'mask'")
     patterns = np.stack(
         [
             _validate_pattern(encode_pattern(w, model.pattern_mode), model)
@@ -280,9 +288,10 @@ def embed_watermark_batch(
         audios = np.stack(
             [_resample_nd(a, sample_rate, model_sr) for a in audios]
         )
+    silent = np.zeros(audios.shape[0], bool)
     if check_silence:
         silent = np.asarray(is_silent(audios, model_sr))
-        if silent.any():
+        if silent.any() and on_silent == "raise":
             raise ValueError(
                 f"Clips {np.where(silent)[0].tolist()} contain no speech."
             )
@@ -291,8 +300,12 @@ def embed_watermark_batch(
         model.params, jnp.asarray(audios), jnp.asarray(patterns), model.cfg
     )
     out = np.asarray(res.audio) * mx[:, None]
+    if silent.any():
+        out[silent] = audios[silent, : out.shape[1]]
     if sample_rate != model_sr:
         out = np.stack([_resample_nd(o, model_sr, sample_rate) for o in out])
+    if on_silent == "mask":
+        return out, ~silent
     return out
 
 

@@ -122,3 +122,19 @@ def test_codec_invalid_mode():
         encode_pattern([1, 0], "nope")
     with pytest.raises(ValueError):
         decode_pattern(np.array([0.1]), "nope")
+
+
+def test_batch_silent_masking(model, speechlike):
+    """on_silent='mask': silent lanes pass through; batch survives."""
+    embedder, detector = model
+    silence = np.zeros_like(speechlike) + 1e-5
+    audios = np.stack([speechlike, silence])
+    bits = np.stack([BITS, BITS])
+    out, mask = embed_watermark_batch(
+        audios, 16000, bits, embedder, on_silent="mask"
+    )
+    assert mask.tolist() == [True, False]
+    # silent lane returned unwatermarked
+    np.testing.assert_allclose(out[1], silence[: out.shape[1]], atol=1e-6)
+    with pytest.raises(ValueError, match="no speech"):
+        embed_watermark_batch(audios, 16000, bits, embedder)
