@@ -9,9 +9,12 @@ from aware_tpu.service.api import (
 )
 from aware_tpu.service.codec import encode_pattern, decode_pattern
 from aware_tpu.service.robust import detect_watermark_robust
+from aware_tpu.service.fast import embed_watermark_oneshot, embed_watermark_turbo
 
 __all__ = [
     "detect_watermark_robust",
+    "embed_watermark_oneshot",
+    "embed_watermark_turbo",
     "AWAREEmbedder",
     "AWAREDetector",
     "load",

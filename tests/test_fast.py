@@ -1,0 +1,48 @@
+"""One-shot / turbo embed modes (bundled amortized model)."""
+
+import numpy as np
+import pytest
+
+from aware_tpu import detect_watermark, load
+from aware_tpu.service import embed_watermark_oneshot, embed_watermark_turbo
+from aware_tpu.service.fast import _AMORTIZED_PATH
+
+pytestmark = pytest.mark.skipif(
+    not _AMORTIZED_PATH.exists(), reason="amortized model not trained"
+)
+
+BITS = np.array([1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 0, 1])
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load()
+
+
+def test_oneshot_embed(model, speechlike):
+    embedder, detector = model
+    wm = embed_watermark_oneshot(speechlike, 16000, BITS, embedder)
+    assert wm.shape == ((len(speechlike) // 256) * 256,)
+    detected = detect_watermark(wm, 16000, detector)
+    ber = float(np.mean(detected != BITS)) * 100
+    # amortized one-shot: measured ~8% mean; generous bound per clip
+    assert ber <= 25.0, f"one-shot BER {ber}%"
+    snr = 10 * np.log10(
+        np.mean(speechlike[: len(wm)] ** 2)
+        / np.mean((wm - speechlike[: len(wm)]) ** 2)
+    )
+    assert snr > 12.0
+
+
+@pytest.mark.slow
+def test_turbo_embed_zero_ber(model, speechlike):
+    embedder, detector = model
+    wm = embed_watermark_turbo(speechlike, 16000, BITS, embedder, num_iterations=100)
+    detected = detect_watermark(wm, 16000, detector)
+    assert float(np.mean(detected != BITS)) == 0.0
+
+
+def test_oneshot_rejects_wrong_rate(model, speechlike):
+    embedder, _ = model
+    with pytest.raises(ValueError, match="model rate"):
+        embed_watermark_oneshot(speechlike, 44100, BITS, embedder)
