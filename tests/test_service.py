@@ -138,3 +138,14 @@ def test_batch_silent_masking(model, speechlike):
     np.testing.assert_allclose(out[1], silence[: out.shape[1]], atol=1e-6)
     with pytest.raises(ValueError, match="no speech"):
         embed_watermark_batch(audios, 16000, bits, embedder)
+
+
+def test_turbo_card_loads(speechlike):
+    """The shipped turbo card parses and embeds at 50 iterations."""
+    import pathlib
+    card = pathlib.Path("aware_tpu/cards/turbo.yaml")
+    embedder, detector = load(card=str(card))
+    assert embedder.cfg.num_iterations == 50
+    wm = embed_watermark(speechlike, 16000, BITS, embedder)
+    detected = detect_watermark(wm, 16000, detector)
+    assert np.mean(detected != BITS) == 0.0
