@@ -1,12 +1,13 @@
-"""Polyphase resampling as a dilated strided convolution.
+"""Polyphase resampling as one strided-frame MXU matmul.
 
 Replaces the reference's host-side ``scipy.signal.resample_poly`` calls
 (reference: scripts/test.py:60-65, scripts/attacks.py:289-294,
-metrics/audio.py:37-38 via librosa) with a TPU-native formulation:
-zero-stuffing + FIR + decimation expressed as one
-``lax.conv_general_dilated`` with ``lhs_dilation=up`` and
-``window_strides=down`` — no upsampled intermediate is ever materialized,
-and the FIR rides the MXU for large batches.
+metrics/audio.py:37-38 via librosa) with a TPU-native formulation: the
+polyphase decomposition is materialized host-side into one (W, up) filter
+bank and the signal is framed at stride ``down``, so the whole resample is
+a single ``frames @ G`` matmul — no zero-stuffed intermediate, and ~up
+times fewer multiplies than the dense upfirdn convolution (every output
+touches only its own filter phase).
 
 Filter design (host, numpy float64) reproduces scipy's defaults exactly:
 ``firwin(2*10*max(up,down)+1, cutoff=1/max(up,down), window=('kaiser', 5.0))``
@@ -19,7 +20,6 @@ from __future__ import annotations
 import functools
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,43 +56,88 @@ def polyphase_filter(up: int, down: int) -> np.ndarray:
     return (h * up).astype(np.float64)
 
 
-def _upfirdn_conv(x: jnp.ndarray, h: np.ndarray, up: int, down: int) -> jnp.ndarray:
-    """upfirdn(h, x, up, down) for (..., L) input via dilated strided conv."""
-    L = len(h)
-    batch_shape = x.shape[:-1]
-    xb = x.reshape((-1, 1, x.shape[-1]))  # (N, C=1, W)
-    # correlation with flipped kernel == convolution
-    k = jnp.asarray(h[::-1].copy(), dtype=x.dtype).reshape((1, 1, L))
-    y = jax.lax.conv_general_dilated(
-        xb,
-        k,
-        window_strides=(down,),
-        padding=[(L - 1, L - 1)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+@functools.lru_cache(maxsize=64)
+def _polyphase_plan(up: int, down: int, n_in: int):
+    """Host-side constants for the polyphase-as-matmul formulation.
+
+    upfirdn picks, for output n, only filter taps j with
+    j ≡ n*down (mod up) — 1/up of the filter.  Grouping outputs by
+    s = n - n0 (mod up) gives per-phase filters F[r_s] and arithmetic
+    input bases base0_s + m*down, so a frame of width W = spread + K
+    strided by ``down`` covers every phase of output block m and
+
+        y[n0 + m*up + s] = frames[m] @ G[:, s]
+
+    with G a (W, up) host-built embedding of the phase filters — one MXU
+    matmul instead of a dense ~10k-tap convolution (~17x fewer FLOPs for
+    the 441<->160 rates).
+    """
+    n_out = -(-n_in * up // down)
+    h = polyphase_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    n_pre_pad = down - (half_len % down) if half_len % down else 0
+    h_padded = np.concatenate([np.zeros(n_pre_pad), h])
+    mp = len(h_padded)
+    n0 = (half_len + n_pre_pad) // down
+
+    k_len = -(-mp // up)
+    fbank = np.zeros((up, k_len))
+    for r in range(up):
+        taps = h_padded[r::up]
+        fbank[r, : len(taps)] = taps
+
+    s_arr = np.arange(up)
+    n_s = n0 + s_arr
+    r_s = (n_s * down) % up
+    base0 = (n_s * down - r_s) // up
+    bmin = int(base0.min()) - (k_len - 1)
+    bmax = int(base0.max())
+    w = bmax - bmin + 1  # frame covers x[bmin + m*down .. bmax + m*down]
+
+    g_mat = np.zeros((w, up))
+    for s in range(up):
+        for k in range(k_len):
+            idx = base0[s] - k - bmin
+            g_mat[idx, s] = fbank[r_s[s], k]
+
+    c = -(-n_out // up)
+    pad_left = max(0, -bmin)
+    # frame rows trick: q row-slices of a (*, down)-reshaped buffer; the
+    # buffer starts at x-index bmin and needs (c+q)*down samples
+    q = -(-w // down) + 1
+    pad_right = max(0, bmin + (c + q) * down - n_in)
+    return (
+        n_out, c, w, q, pad_left, pad_right, bmin,
+        g_mat.astype(np.float32),
     )
-    return y.reshape(*batch_shape, y.shape[-1])
 
 
 def resample_poly(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     """Rational-rate resample of the last axis; scipy.resample_poly semantics.
 
     Static output length ``ceil(L * up / down)``; jit/vmap/grad-safe.
+    Implementation: polyphase filter bank as one strided-frame matmul (see
+    :func:`_polyphase_plan`).
     """
     g = math.gcd(up, down)
     up, down = up // g, down // g
     if up == down == 1:
         return x
     n_in = x.shape[-1]
-    n_out = -(-n_in * up // down)  # ceil
-    h = polyphase_filter(up, down)
-    half_len = (len(h) - 1) // 2
-    # scipy pads h so the filter delay is an integer number of output samples
-    n_pre_pad = down - (half_len % down) if half_len % down else 0
-    h_padded = np.concatenate([np.zeros(n_pre_pad), h])
-    n_pre_remove = (half_len + n_pre_pad) // down
-    y = _upfirdn_conv(x, h_padded, up, down)
-    return y[..., n_pre_remove : n_pre_remove + n_out]
+    n_out, c, w, q, pad_left, pad_right, bmin, g_mat = _polyphase_plan(
+        up, down, n_in
+    )
+    batch_shape = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)])
+    # frames[m] = xp[(pad_left + bmin) + m*down : ... + w]; build via the
+    # rows trick (frame stride == down)
+    off = pad_left + bmin
+    rows = xp[..., off : off + (c + q) * down].reshape(*batch_shape, c + q, down)
+    frames = jnp.concatenate(
+        [rows[..., i : i + c, :] for i in range(q)], axis=-1
+    )[..., :w]
+    y = jnp.matmul(frames, jnp.asarray(g_mat, dtype=x.dtype))  # (..., c, up)
+    return y.reshape(*batch_shape, c * up)[..., :n_out]
 
 
 def resample(x: jnp.ndarray, orig_sr: int, target_sr: int) -> jnp.ndarray:
