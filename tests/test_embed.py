@@ -125,3 +125,13 @@ def test_warm_start_init_coeffs(params, speechlike):
     cold = embed_core(params, x, wm, cfg)
     # warm start from a clipped far point shouldn't diverge
     assert float(res.best_loss) < float(cold.best_loss) + 0.5
+
+
+def test_embed_deterministic(params, speechlike):
+    """Same inputs -> bit-identical embed output (JAX purity substitutes for
+    the reference's absent race/determinism story, SURVEY §5)."""
+    cfg = AwareConfig().replace(num_iterations=10)
+    wm = jnp.asarray((2 * BITS - 1).astype(np.float32))
+    a = embed_one(params, jnp.asarray(speechlike), wm, cfg)
+    b = embed_one(params, jnp.asarray(speechlike.copy()), wm, cfg)
+    np.testing.assert_array_equal(np.asarray(a.audio), np.asarray(b.audio))
