@@ -49,6 +49,10 @@ from aware_tpu.ops.windows import get_window
 @dataclasses.dataclass(frozen=True)
 class AmortizedEmbedderConfig:
     hidden: tuple[int, ...] = (256, 256)
+    # depthwise temporal conv width between the 1x1 layers (0 disables);
+    # the solver shapes patterns jointly across frames, so the amortized
+    # net needs temporal context too
+    temporal_kernel: int = 9
     seed: int = 77
 
     def feature_dim(self, n_band: int, n_bits: int) -> int:
@@ -58,8 +62,8 @@ class AmortizedEmbedderConfig:
 def init_embedder_params(
     ecfg: AmortizedEmbedderConfig, n_band: int, n_bits: int
 ) -> dict[str, jnp.ndarray]:
-    """1x1-conv stack over frequency features: (n_band + n_bits) -> hidden...
-    -> n_band, xavier init."""
+    """Frequency-mixing 1x1 convs interleaved with depthwise temporal
+    convs: (n_band + n_bits) -> hidden... -> n_band, xavier init."""
     rng = jax.random.PRNGKey(ecfg.seed)
     dims = (ecfg.feature_dim(n_band, n_bits), *ecfg.hidden, n_band)
     params: dict[str, jnp.ndarray] = {}
@@ -70,7 +74,26 @@ def init_embedder_params(
             sub, (dims[i + 1], dims[i]), jnp.float32, -bound, bound
         )
         params[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
+        if ecfg.temporal_kernel and i < len(dims) - 2:
+            # identity-init depthwise temporal kernel per channel
+            tk = np.zeros((dims[i + 1], ecfg.temporal_kernel), np.float32)
+            tk[:, ecfg.temporal_kernel // 2] = 1.0
+            params[f"t{i}"] = jnp.asarray(tk)
     return params
+
+
+def _depthwise_time_conv(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """(C, T) x (C, K) same-padded depthwise conv along time."""
+    kw = k.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x[None],  # (1, C, T)
+        k[:, None, ::-1],  # (C, 1, K) flipped -> convolution
+        window_strides=(1,),
+        padding=[(kw // 2, kw - 1 - kw // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=x.shape[0],
+    )
+    return y[0]
 
 
 def embedder_apply(
@@ -90,6 +113,8 @@ def embedder_apply(
     n_layers = len([k for k in params if k.startswith("w")])
     for i in range(n_layers):
         x = params[f"w{i}"] @ x + params[f"b{i}"][:, None]
+        if f"t{i}" in params:
+            x = _depthwise_time_conv(x, params[f"t{i}"])
         if i < n_layers - 1:
             x = jax.nn.gelu(x)
     delta_max = band_mag * (10.0 ** (-tolerance_db / 20.0))
