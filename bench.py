@@ -70,8 +70,12 @@ def main() -> None:
     wms = (2 * bits - 1).astype(np.float32)
 
     @jax.jit
-    def pipeline(p, audio44, w):
-        audio16 = resample_poly(audio44, 160, 441)
+    def pipeline(p, audio44, w, eps):
+        # on-device input perturbation: defeats the tunnel's identical-
+        # buffer re-execution elision without re-uploading the batch (this
+        # dev environment reaches the chip through a network tunnel; the
+        # benchmark measures chip throughput, not tunnel bandwidth)
+        audio16 = resample_poly(audio44 * (1.0 + eps), 160, 441)
         res = embed_batch(p, audio16, w, cfg)
         values = jax.vmap(
             lambda a: detect_values(p, a, cfg.detection_net,
@@ -79,21 +83,18 @@ def main() -> None:
         )(res.audio)
         return res.audio, values
 
-    a44 = jnp.asarray(clips44)
+    a44 = jax.device_put(jnp.asarray(clips44))
     w = jnp.asarray(wms)
 
     t0 = time.time()
-    out_audio, values = pipeline(params, a44, w)
+    out_audio, values = pipeline(params, a44, w, jnp.float32(0.0))
     _ = np.asarray(values)  # host transfer: the only reliable sync on axon
     compile_and_first = time.time() - t0
 
     times = []
     for r in range(args.repeats):
-        # fresh input each repeat: the TPU tunnel elides re-execution of
-        # identical buffers, which would fake a 0-second run
-        a_r = jnp.asarray(clips44 * (1.0 + 1e-6 * (r + 1)))
         t0 = time.time()
-        out_audio, values = pipeline(params, a_r, w)
+        out_audio, values = pipeline(params, a44, w, jnp.float32(1e-6 * (r + 1)))
         _ = np.asarray(values)
         times.append(time.time() - t0)
     steady = min(times)
