@@ -64,6 +64,8 @@ class EmbedResult(NamedTuple):
     audio: jnp.ndarray       # watermarked waveform, (T-1)*hop samples
     best_loss: jnp.ndarray   # best objective seen
     final_loss: jnp.ndarray  # objective at the last iteration
+    coeffs: jnp.ndarray      # best in-band magnitudes (n_band, T) — the
+                             # optimization variables (distillation targets)
 
 
 def _band_concat(mag, band, lo, hi):
@@ -238,7 +240,9 @@ def embed_core(
     # (reference :173-197).
     wmag = _band_concat(mag, best_coeffs, lo, hi)
     out = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
-    return EmbedResult(audio=out, best_loss=best_loss, final_loss=losses[-1])
+    return EmbedResult(
+        audio=out, best_loss=best_loss, final_loss=losses[-1], coeffs=best_coeffs
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -282,7 +286,10 @@ def make_embedder(params: DetectorParams, cfg: AwareConfig):
             cfg,
         )
         return EmbedResult(
-            np.asarray(res.audio), np.asarray(res.best_loss), np.asarray(res.final_loss)
+            np.asarray(res.audio),
+            np.asarray(res.best_loss),
+            np.asarray(res.final_loss),
+            np.asarray(res.coeffs),
         )
 
     return embed

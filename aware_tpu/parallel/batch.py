@@ -46,7 +46,10 @@ def sharded_embed_batch(
         embed_batch,
         static_argnames=("cfg",),
         out_shardings=EmbedResult(
-            audio=data_sharding, best_loss=data_sharding, final_loss=data_sharding
+            audio=data_sharding,
+            best_loss=data_sharding,
+            final_loss=data_sharding,
+            coeffs=data_sharding,
         ),
     )
     return fn(params, audios, watermarks, cfg)
