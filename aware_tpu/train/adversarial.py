@@ -317,15 +317,21 @@ def train_amortized_embedder(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 200,
     mesh=None,
+    init_e_params=None,
 ) -> tuple[TrainState, list[dict[str, float]]]:
     """Run the adversarial training loop.
 
     ``clip_sampler(step) -> (batch_size, L) float32`` supplies audio.  With
     ``mesh`` given, the batch is sharded over its ``data`` axis.
+    ``init_e_params`` warm-starts the embedder from existing weights.
     """
     from aware_tpu.utils.logger import logger
 
     state = init_train_state(cfg, tcfg, d_params)
+    if init_e_params is not None:
+        state = state._replace(
+            e_params=jax.tree.map(jnp.asarray, dict(init_e_params))
+        )
     step_fn = make_train_step(cfg, tcfg)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

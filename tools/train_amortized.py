@@ -108,6 +108,9 @@ def main() -> None:
     ap.add_argument("--lambda-percept", type=float, default=0.3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[384, 384])
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--init", default=None, help="npz to warm-start from")
+    ap.add_argument("--diverse", action="store_true",
+                    help="train on the mixed clip families (OOD robustness)")
     args = ap.parse_args()
 
     cfg = AwareConfig()
@@ -127,9 +130,25 @@ def main() -> None:
         steps=args.steps,
         embedder=AmortizedEmbedderConfig(hidden=tuple(args.hidden)),
     )
+    if args.diverse:
+        from aware_tpu.train.distill import diverse_clip
+
+        def sampler(step: int) -> np.ndarray:
+            return np.stack(
+                [diverse_clip(step * args.batch + i) for i in range(args.batch)]
+            )
+    else:
+        sampler = clip_sampler(args.batch)
+
+    init_override = None
+    if args.init:
+        with np.load(args.init) as z:
+            init_override = {k: jnp.asarray(z[k]) for k in z.files}
+
     state, history = train_amortized_embedder(
-        cfg, tcfg, d_params, clip_sampler(args.batch), seed=1,
+        cfg, tcfg, d_params, sampler, seed=1,
         checkpoint_dir=str(OUT_DIR / "amortized_ckpt"),
+        init_e_params=init_override,
     )
 
     e_params_np = {k: np.asarray(v) for k, v in state.e_params.items()}
