@@ -30,22 +30,34 @@ from aware_tpu.ops.windows import get_window
 from aware_tpu.service.api import AWAREEmbedder, _validate_pattern
 from aware_tpu.service.codec import encode_pattern
 
-_AMORTIZED_PATH = (
-    pathlib.Path(__file__).parent.parent / "models" / "_key" / "amortized_v1.npz"
-)
+_KEY_DIR = pathlib.Path(__file__).parent.parent / "models" / "_key"
+_AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
+
+# Two trained bundles with a measured specialization trade-off:
+#   "default": adversarial-only training on one speech family — ~1% BER on
+#              matching material, degrades off-distribution;
+#   "diverse": fine-tuned on four mixed clip families — more uniform
+#              (4-18% across families) at some cost on the original family.
+_VARIANTS = {
+    "default": _AMORTIZED_PATH,
+    "diverse": _KEY_DIR / "amortized_v1_diverse.npz",
+}
 
 
-@functools.lru_cache(maxsize=1)
-def _load_amortized() -> dict[str, jnp.ndarray]:
-    if not _AMORTIZED_PATH.exists():
+@functools.lru_cache(maxsize=4)
+def _load_amortized(variant: str = "default") -> dict[str, jnp.ndarray]:
+    path = _VARIANTS.get(variant)
+    if path is None or not path.exists():
         raise FileNotFoundError(
-            f"{_AMORTIZED_PATH} missing — train it with tools/train_amortized.py"
+            f"amortized bundle {variant!r} missing — train it with "
+            "tools/train_amortized.py"
         )
-    with np.load(_AMORTIZED_PATH) as z:
+    with np.load(path) as z:
         return {k: jnp.asarray(z[k]) for k in z.files}
 
 
-def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray):
+def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray,
+                    variant: str = "default"):
     from aware_tpu.train.adversarial import embedder_apply
 
     cfg = model.cfg
@@ -58,7 +70,7 @@ def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray
              cfg.frame_length, cfg.hop_length, window)
     )
     band = embedder_apply(
-        _load_amortized(), mag[lo:hi], jnp.asarray(pattern, jnp.float32),
+        _load_amortized(variant), mag[lo:hi], jnp.asarray(pattern, jnp.float32),
         cfg.tolerance_db,
     )
     return band, mag, phase, lo, hi, window
@@ -69,6 +81,7 @@ def embed_watermark_oneshot(
     sample_rate: int,
     watermark_bits,
     model: AWAREEmbedder,
+    variant: str = "default",
 ) -> np.ndarray:
     """One-forward-pass embed (amortized network; no optimization loop)."""
     from aware_tpu.ops.stft import istft, polar
@@ -81,7 +94,7 @@ def embed_watermark_oneshot(
         raise ValueError("one-shot embed operates at the model rate (16 kHz)")
     mono = np.asarray(audio, np.float32)
     mx = np.max(mono)
-    band, mag, phase, lo, hi, window = _amortized_band(model, mono, pattern)
+    band, mag, phase, lo, hi, window = _amortized_band(model, mono, pattern, variant)
     wmag = jnp.concatenate([mag[:lo], band, mag[hi:]], axis=0)
     out = peak_normalize(
         istft(polar(wmag, phase), cfg.frame_length, cfg.hop_length, window)
@@ -95,6 +108,7 @@ def embed_watermark_turbo(
     watermark_bits,
     model: AWAREEmbedder,
     num_iterations: int = 100,
+    variant: str = "default",
 ) -> np.ndarray:
     """Solver embed warm-started from the amortized prediction with a
     reduced iteration budget (service contract preserved)."""
@@ -106,7 +120,7 @@ def embed_watermark_turbo(
         raise ValueError("turbo embed operates at the model rate (16 kHz)")
     mono = np.asarray(audio, np.float32)
     mx = np.max(mono)
-    band, *_ = _amortized_band(model, mono, pattern)
+    band, *_ = _amortized_band(model, mono, pattern, variant)
     res = embed_core(
         model.params,
         jnp.asarray(mono),

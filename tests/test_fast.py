@@ -46,3 +46,15 @@ def test_oneshot_rejects_wrong_rate(model, speechlike):
     embedder, _ = model
     with pytest.raises(ValueError, match="model rate"):
         embed_watermark_oneshot(speechlike, 44100, BITS, embedder)
+
+
+def test_diverse_variant_loads(model, speechlike):
+    from aware_tpu.service.fast import _VARIANTS
+
+    if not _VARIANTS["diverse"].exists():
+        pytest.skip("diverse bundle not trained")
+    embedder, detector = model
+    wm = embed_watermark_oneshot(speechlike, 16000, BITS, embedder, variant="diverse")
+    assert wm.shape == ((len(speechlike) // 256) * 256,)
+    with pytest.raises(FileNotFoundError):
+        embed_watermark_oneshot(speechlike, 16000, BITS, embedder, variant="nope")
