@@ -3,13 +3,14 @@
 New capabilities beyond the reference (which only has the 400-iteration
 per-clip optimization):
 
-* ``embed_watermark_oneshot`` — a single forward pass of the bundled
-  adversarially-trained amortized embedder (aware_tpu/models/_key/
-  amortized_v1.npz, trained by tools/train_amortized.py).  Measured:
-  ~1% clean BER (2.5-5% under pcm/mp3/noise attacks) at ~17.5 dB SNR,
-  at detector-speed latency (no inner loop).
-  Use when throughput matters more than the last few bits, or as a
-  screening pass.
+* ``embed_watermark_oneshot`` — a single forward pass of a bundled
+  adversarially-trained amortized embedder (tools/train_amortized.py).
+  Measured at ~1726 clips/s on one v5e chip (vs 27 clips/s for the full
+  solver).  Two bundles (``variant=``): "default" reaches ~1% clean BER
+  (2.5-5% under pcm/mp3/noise attacks) at ~17.5 dB SNR on material
+  matching its training family but degrades off-distribution; "diverse"
+  is more uniform (4-18%) across clip families.  Use when throughput
+  matters more than the last few bits, or as a screening pass.
 * ``embed_watermark_turbo`` — the exact solver warm-started from the
   amortized prediction with a reduced iteration budget.  Same contract and
   output semantics as ``embed_watermark``.
