@@ -140,7 +140,8 @@ class AwareConfig:
             "frame_length", "hop_length", "window", "win_length",
             "pattern_mode", "watermark_length", "tolerance_db",
             "num_iterations", "loss", "verbose", "threshold",
-            "matmul_precision", "dtype",
+            "matmul_precision", "dtype", "scan_unroll",
+            "use_matmul_dft", "use_pallas_ola",
         }
         for key in simple & set(card):
             kwargs[key] = card[key]
