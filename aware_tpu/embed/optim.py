@@ -12,9 +12,13 @@ therefore its output audio — depends on them
 (reference: src/AWARE/embedding/optimizers.py:3-20; the default is NAdam
 with lr=0.1 per cards/config.yaml:19-21).
 
-Not carried over: ``sparse_adam`` (JAX has no sparse gradients here; dense
-adam is the exact equivalent) and ``lbfgs`` (history-based line search does
-not map to a fixed-shape scan; raises with guidance).
+``sparse_adam`` aliases dense adam (JAX has no sparse gradients here; the
+update rule is identical on dense grads).  ``lbfgs`` resolves to a marker:
+its history-based update does not map to a fixed-shape scan, so the solver
+dispatches it to a host-driven loop (aware_tpu.embed.lbfgs +
+solver.embed_lbfgs) — torch-exact, and strictly more capable than the
+reference, whose own lbfgs selection crashes (LBFGS.step requires a
+closure; multibit_embedder.py:112 passes none).
 """
 
 from __future__ import annotations
@@ -258,11 +262,18 @@ def adamax(
 
 # -------------------------------------------------------------- Registry ---
 
-def _unsupported_lbfgs(**kwargs):
-    raise NotImplementedError(
-        "lbfgs does not map to a fixed-shape scan on TPU; use 'nadam' or "
-        "'adam' (the reference default is nadam)."
-    )
+class LBFGSMarker(NamedTuple):
+    """Resolved for name 'lbfgs'; the actual update rule is host-driven
+    (aware_tpu/embed/lbfgs.py) because L-BFGS's growing curvature history
+    and data-dependent exits don't fit a fixed-shape ``lax.scan``.  The
+    solver (embed.solver.embed_lbfgs) and service API dispatch on the
+    optimizer *name*, not this object."""
+
+    history_size: int = 100
+
+
+def lbfgs(history_size: int = 100, **_ignored) -> LBFGSMarker:
+    return LBFGSMarker(history_size=history_size)
 
 
 OPTIMIZER_REGISTRY: dict[str, Callable[..., Optimizer]] = {
@@ -275,7 +286,7 @@ OPTIMIZER_REGISTRY: dict[str, Callable[..., Optimizer]] = {
     "adamax": adamax,
     "adamw": adamw,
     "sparse_adam": adam,  # dense equivalent; no sparse grads in this stack
-    "lbfgs": _unsupported_lbfgs,
+    "lbfgs": lbfgs,       # host-loop marker; see LBFGSMarker
 }
 
 

@@ -86,31 +86,35 @@ def _band_zero(mag, lo, hi):
     )
 
 
-def embed_core(
+class EmbedProblem(NamedTuple):
+    """The per-clip optimization problem, shared by the scan solver and the
+    host-loop L-BFGS solver: ``objective(coeffs) -> loss`` plus the bound
+    box and the arrays needed to reconstruct the output waveform."""
+
+    objective: Any
+    coeffs0: jnp.ndarray   # (n_band, T) initial in-band magnitudes
+    lower: jnp.ndarray
+    upper: jnp.ndarray
+    mag: jnp.ndarray
+    phase: jnp.ndarray
+    lo: int
+    hi: int
+
+
+def build_problem(
     params: DetectorParams,
     audio: jnp.ndarray,
     watermark: jnp.ndarray,
     cfg: AwareConfig,
-    init_coeffs: jnp.ndarray | None = None,
-) -> EmbedResult:
-    """Pure single-clip embed: waveform (L,) + bipolar pattern -> EmbedResult.
-
-    Trace-time constants: window, band bins, optimizer/scheduler/loss.
-    ``init_coeffs`` (n_band, T) warm-starts the optimization (e.g. from the
-    amortized embedder) instead of the reference's unperturbed magnitudes;
-    it is clipped into the tolerance box first.
-    """
+) -> EmbedProblem:
+    """Preprocess one clip and build the differentiable embed objective
+    (reference: multibit_embedder.py:141-160 for the setup, :95-113 for the
+    per-iteration graph)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
     window = get_window(cfg.window, cfg.win_length)
     net_cfg = cfg.detection_net
     lo, hi = in_band_bins(net_cfg.sample_rate, n_fft, cfg.embedding_bands)
     loss_fn = get_loss_fn(cfg.loss)
-    opt = get_optimizer(
-        cfg.optimizer_name,
-        **{k: v for k, v in cfg.opt_params.items() if k != "lr"},
-    )
-    base_lr = float(cfg.opt_params.get("lr", 0.1))
-    sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
 
     # Preprocess (reference :141-147): peak-norm -> STFT -> (mag, phase).
     x = peak_normalize(audio)
@@ -206,7 +210,48 @@ def embed_core(
             pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
             return loss_fn(pred, wm)
 
-    grad_fn = jax.value_and_grad(objective)
+    return EmbedProblem(objective, coeffs0, lower, upper, mag, phase, lo, hi)
+
+
+def _reconstruct(pb: EmbedProblem, best_coeffs: jnp.ndarray, cfg: AwareConfig):
+    """Output waveform from the original magnitude + best coefficients
+    (reference :173-197)."""
+    window = get_window(cfg.window, cfg.win_length)
+    wmag = _band_concat(pb.mag, best_coeffs, pb.lo, pb.hi)
+    return peak_normalize(
+        istft(polar(wmag, pb.phase), cfg.frame_length, cfg.hop_length, window)
+    )
+
+
+def embed_core(
+    params: DetectorParams,
+    audio: jnp.ndarray,
+    watermark: jnp.ndarray,
+    cfg: AwareConfig,
+    init_coeffs: jnp.ndarray | None = None,
+) -> EmbedResult:
+    """Pure single-clip embed: waveform (L,) + bipolar pattern -> EmbedResult.
+
+    Trace-time constants: window, band bins, optimizer/scheduler/loss.
+    ``init_coeffs`` (n_band, T) warm-starts the optimization (e.g. from the
+    amortized embedder) instead of the reference's unperturbed magnitudes;
+    it is clipped into the tolerance box first.
+    """
+    if cfg.optimizer_name == "lbfgs":
+        raise ValueError(
+            "lbfgs is a host-loop optimizer and cannot run inside the scan "
+            "solver; call embed_lbfgs (the service API dispatches there "
+            "automatically for single-clip embeds)."
+        )
+    pb = build_problem(params, audio, watermark, cfg)
+    coeffs0, lower, upper = pb.coeffs0, pb.lower, pb.upper
+    opt = get_optimizer(
+        cfg.optimizer_name,
+        **{k: v for k, v in cfg.opt_params.items() if k != "lr"},
+    )
+    base_lr = float(cfg.opt_params.get("lr", 0.1))
+    sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
+    grad_fn = jax.value_and_grad(pb.objective)
 
     def body(carry, _):
         coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
@@ -223,25 +268,82 @@ def embed_core(
     start = (
         coeffs0
         if init_coeffs is None
-        else jnp.clip(init_coeffs.astype(mag.dtype), lower, upper)
+        else jnp.clip(init_coeffs.astype(coeffs0.dtype), lower, upper)
     )
     init = (
         start,
         opt.init(start),
         sched.init(base_lr),
-        jnp.asarray(jnp.inf, mag.dtype),
+        jnp.asarray(jnp.inf, coeffs0.dtype),
         start,
     )
     (coeffs, _, _, best_loss, best_coeffs), losses = jax.lax.scan(
         body, init, None, length=cfg.num_iterations, unroll=cfg.scan_unroll
     )
 
-    # Rebuild output from the original magnitude + best coefficients
-    # (reference :173-197).
-    wmag = _band_concat(mag, best_coeffs, lo, hi)
-    out = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
+    out = _reconstruct(pb, best_coeffs, cfg)
     return EmbedResult(
         audio=out, best_loss=best_loss, final_loss=losses[-1], coeffs=best_coeffs
+    )
+
+
+def embed_lbfgs(
+    params: DetectorParams,
+    audio: jnp.ndarray,
+    watermark: jnp.ndarray,
+    cfg: AwareConfig,
+    init_coeffs: jnp.ndarray | None = None,
+) -> EmbedResult:
+    """Host-loop L-BFGS embed (``optimizer_name == "lbfgs"``).
+
+    One quasi-Newton iteration per solver iteration — the trajectory of
+    ``torch.optim.LBFGS(lr, max_iter=1, history_size)`` driven by a closure,
+    with the solver's clamp/best-tracking between steps (see
+    aware_tpu/embed/lbfgs.py for why the reference itself cannot run this
+    optimizer).  The objective is jitted once; the two-loop recursion runs
+    on host.  Not vmappable/scannable by construction — use the scan solver
+    for throughput.
+    """
+    from aware_tpu.embed.lbfgs import HISTORY_SIZE, LBFGSMemory, lbfgs_update
+
+    pb = build_problem(params, audio, watermark, cfg)
+    nb, t_frames = pb.coeffs0.shape
+    vag = jax.jit(jax.value_and_grad(pb.objective))
+    base_lr = float(cfg.opt_params.get("lr", 1.0))  # torch LBFGS default
+    history = int(cfg.opt_params.get("history_size", HISTORY_SIZE))
+    sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
+    sched_state = sched.init(base_lr)
+
+    start = pb.coeffs0 if init_coeffs is None else jnp.clip(
+        init_coeffs.astype(pb.coeffs0.dtype), pb.lower, pb.upper
+    )
+    x = np.asarray(start, np.float32).ravel()
+    lower = np.asarray(pb.lower, np.float32).ravel()
+    upper = np.asarray(pb.upper, np.float32).ravel()
+
+    mem = LBFGSMemory(history_size=history)
+    best_loss, best, last_loss = np.inf, x.copy(), np.inf
+    for _ in range(cfg.num_iterations):
+        loss_j, g = vag(jnp.asarray(x.reshape(nb, t_frames)))
+        loss = float(loss_j)
+        g = np.asarray(g, np.float32).ravel()
+        lr = float(sched_state["lr"])  # lr from before this step's tick
+        x = lbfgs_update(mem, x, g, lr)
+        sched_state = sched.step(sched_state, loss_j)
+        x = np.clip(x, lower, upper)
+        # best snapshot pairs loss_t with the post-step post-clamp coeffs
+        # (same reference quirk as the scan solver)
+        if loss < best_loss:
+            best_loss, best = loss, x.copy()
+        last_loss = loss
+
+    best_coeffs = jnp.asarray(best.reshape(nb, t_frames))
+    out = _reconstruct(pb, best_coeffs, cfg)
+    return EmbedResult(
+        audio=out,
+        best_loss=jnp.asarray(best_loss, jnp.float32),
+        final_loss=jnp.asarray(last_loss, jnp.float32),
+        coeffs=best_coeffs,
     )
 
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aware_tpu.config import AwareConfig
-from aware_tpu.embed.solver import embed_batch, embed_one
+from aware_tpu.embed.solver import embed_batch, embed_lbfgs, embed_one
 from aware_tpu.models.detector import (
     DetectorParams,
     detect_values,
@@ -74,7 +74,10 @@ class AWAREEmbedder:
             raise ValueError(
                 f"Embedder operates at {self.cfg.detection_net.sample_rate} Hz"
             )
-        res = embed_one(
+        # lbfgs is history-based and host-driven; every other optimizer runs
+        # the jitted scan solver (see embed.solver / embed.lbfgs).
+        solve = embed_lbfgs if self.cfg.optimizer_name == "lbfgs" else embed_one
+        res = solve(
             self.params,
             jnp.asarray(audio, jnp.float32),
             jnp.asarray(watermark, jnp.float32),
