@@ -216,6 +216,73 @@ def detector_apply(
     return _final_activation(cfg.final_activation)(out)
 
 
+def detector_apply_masked(
+    params: DetectorParams,
+    mag: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: DetectorNetConfig = DetectorNetConfig(),
+    matmul_precision: str = "highest",
+) -> jnp.ndarray:
+    """Forward over a zero-padded magnitude (F, T) with a frame-validity
+    mask (T,): numerically equivalent (to fp tolerance) to
+    :func:`detector_apply` on the unpadded (F, n_valid) input.
+
+    Every normalization statistic and the BRH pool ignores masked frames,
+    and the initial AvgPool drops any window containing a masked frame —
+    exactly what the unpadded forward's floor-division pooling drops.
+    This is what lets ragged detections (robust-detect rate grid, mixed-
+    length batches) stack into ONE dispatched program instead of one
+    dispatch per length.  (Same masked-stat scheme as the sequence-parallel
+    streaming path, without the cross-chip psum.)
+    """
+    prec = _precision(matmul_precision)
+    mask = mask.astype(mag.dtype)
+    basis = jnp.asarray(
+        mel_filter_bank(cfg.sample_rate, cfg.n_fft, cfg.n_mels), dtype=mag.dtype
+    )
+    x = jnp.matmul(basis, mag, precision=prec) * mask
+
+    n = jnp.sum(mask)
+    # masked InstanceNorm1d (biased variance over valid frames)
+    mean = jnp.sum(x * mask, axis=-1, keepdims=True) / n
+    var = jnp.sum(((x - mean) * mask) ** 2, axis=-1, keepdims=True) / n
+    x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * mask
+    # masked GlobalStandardize (unbiased over C·n_valid elements)
+    n_el = x.shape[0] * n
+    gmean = jnp.sum(x * mask) / n_el
+    gvar = jnp.sum(((x - gmean) * mask) ** 2) / (n_el - 1.0)
+    x = (x - gmean) / (jnp.sqrt(gvar) + 1e-8) * mask
+
+    size, stride = cfg.initial_pool_size, cfg.initial_pool_stride
+    if size != stride:
+        raise ValueError("masked forward supports size==stride pooling only")
+    t_out = x.shape[-1] // size
+    x = jnp.mean(x[..., : t_out * size].reshape(x.shape[0], t_out, size), axis=-1)
+    maskp = jnp.prod(mask[: t_out * size].reshape(t_out, size), axis=-1)
+    x = x * maskp
+
+    act = _block_activation(cfg.activation)
+    np_valid = jnp.sum(maskp)
+    for i in range(cfg.num_blocks + 1):
+        w = params[f"conv{i}_w"]
+        b = params[f"conv{i}_b"]
+        x = (jnp.matmul(w, x, precision=prec) + b[:, None]) * maskp
+        if cfg.norm_layer == "instance":
+            mean = jnp.sum(x * maskp, axis=-1, keepdims=True) / np_valid
+            var = (
+                jnp.sum(((x - mean) * maskp) ** 2, axis=-1, keepdims=True)
+                / np_valid
+            )
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * maskp
+        elif cfg.norm_layer != "none":
+            raise ValueError(f"Invalid norm layer: {cfg.norm_layer}")
+        x = act(x) * maskp
+
+    pooled = jnp.sum(x * maskp, axis=-1) / np_valid
+    out = pooled[0::2] - pooled[1::2]
+    return _final_activation(cfg.final_activation)(out)
+
+
 def detector_apply_batch(
     params: DetectorParams,
     mags: jnp.ndarray,

@@ -52,3 +52,48 @@ def test_clean_clip_picks_unity(watermarked):
     )
     assert float(np.mean(bits != BITS)) == 0.0
     assert abs(best_rate - 1.0) < 0.04
+
+
+def test_masked_forward_equals_unpadded():
+    """detector_apply_masked on zero-padded input == detector_apply on the
+    unpadded input (the exactness fact the fused rate grid rests on)."""
+    from aware_tpu.config import AwareConfig, in_band_bins
+    from aware_tpu.models.detector import (
+        detector_apply,
+        detector_apply_masked,
+        init_params,
+        preprocess_magnitude,
+    )
+    from aware_tpu.ops.windows import get_window
+
+    cfg = AwareConfig()
+    net = cfg.detection_net
+    params = init_params(net)
+    w = get_window(cfg.window, cfg.win_length)
+    lo, hi = in_band_bins(net.sample_rate, net.n_fft, cfg.embedding_bands)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(16000).astype(np.float32)
+    mag = preprocess_magnitude(jnp.asarray(x), net.n_fft, cfg.hop_length, w, lo, hi)
+    t = mag.shape[-1]
+    for pad in (0, 1, 7, 40):
+        mp = jnp.pad(mag, ((0, 0), (0, pad)))
+        mask = jnp.concatenate([jnp.ones(t), jnp.zeros(pad)])
+        got = detector_apply_masked(params, mp, mask, net, "highest")
+        want = detector_apply(params, mag, net, "highest")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4,
+            err_msg=f"pad={pad}",
+        )
+
+
+def test_grid_is_one_dispatch(watermarked):
+    """The whole rate grid compiles to a single jitted call returning
+    (R, bits) values."""
+    from aware_tpu.service.robust import robust_values
+
+    wm, detector = watermarked
+    vals = robust_values(detector, wm, rates=GRID)
+    assert vals.shape == (len(GRID), 20)
+    # unity lane decodes the embedded bits
+    i = GRID.index(1.0)
+    assert float(np.mean((vals[i] > 0).astype(int) != BITS)) == 0.0
