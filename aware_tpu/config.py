@@ -41,6 +41,11 @@ class DetectorNetConfig:
     final_activation: str = "tanh"
     # RNG seed pinning the key material (reference: multibit_detector_net.py:78).
     seed: int = 328656719
+    # Alternate key bundle: npz filename under models/_key (or an absolute
+    # path).  Empty -> the golden seeded-torch key for the default
+    # architecture, fresh JAX xavier otherwise.  Used by re-keyed cards
+    # (e.g. the desync-robust bundle).
+    key_file: str = ""
 
     def __post_init__(self) -> None:
         if len(self.n_filters) != self.num_blocks:

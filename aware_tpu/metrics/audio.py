@@ -154,13 +154,33 @@ def _stoi_core(x10: jnp.ndarray, y10: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(seg_d * w_ok) / (jnp.sum(w_ok) + 1e-20)
 
 
-def stoi(output, target, sampling_rate: int) -> float:
-    """Intelligibility of ``output`` given clean ``target`` (reference
-    argument order: metrics/audio.py:42-64 computes stoi(target, output))."""
+def stoi_device(output, target, sampling_rate: int) -> float:
+    """Traced/vmappable STOI approximation (in-graph & training use).
+
+    For reported scores use :func:`stoi`, which runs the exact pystoi
+    algorithm host-side.
+    """
     output, target = _downmix_pair(output, target)
     x = resample(jnp.asarray(target), sampling_rate, _STOI_SR)
     y = resample(jnp.asarray(output), sampling_rate, _STOI_SR)
     return float(_stoi_core(x, y))
+
+
+def stoi(output, target, sampling_rate: int) -> float:
+    """Exact STOI of ``output`` given clean ``target``.
+
+    Mirrors the reference wrapper (metrics/audio.py:42-64): stereo
+    mean-downmix, truncate to common length, resample to 16 kHz, then the
+    pystoi algorithm (which itself resamples to 10 kHz) — implemented
+    exactly in aware_tpu.metrics.stoi_exact.
+    """
+    from aware_tpu.metrics.stoi_exact import stoi_exact
+
+    output, target = _downmix_pair(output, target)
+    if sampling_rate != 16000:
+        output = np.asarray(resample(jnp.asarray(output), sampling_rate, 16000))
+        target = np.asarray(resample(jnp.asarray(target), sampling_rate, 16000))
+    return stoi_exact(target, output, 16000)
 
 
 # ------------------------------------------------------------ PESQ proxy ---

@@ -72,8 +72,14 @@ def init_params(
     A non-default architecture or seed cannot bit-match torch's RNG stream,
     so it gets an honest JAX-native init keyed by ``cfg.seed`` — still fully
     deterministic, still usable as a watermarking key, just not
-    torch-parity.
+    torch-parity.  ``cfg.key_file`` overrides with an alternate trained
+    bundle (e.g. the desync-robust re-keyed detector).
     """
+    if cfg.key_file:
+        p = pathlib.Path(cfg.key_file)
+        if not p.is_absolute():
+            p = _KEY_DIR / p
+        return load_key_params(p)
     default = DetectorNetConfig()
     if cfg == default and _DEFAULT_KEY.exists():
         return load_key_params()

@@ -179,13 +179,51 @@ DIFFERENTIABLE_ATTACKS: tuple[Callable, ...] = (
     _attack_dropout,
 )
 
+# Stretch rates covering the eval suite's desync rows (ts_0.8..1.2) plus
+# near-unity rates that mimic ps_5's vocoder smearing (a 5-cent pitch shift
+# is a ~0.997 stretch + resample; the damage is the smearing, not the
+# 0.3% frequency shift).
+DESYNC_STRETCH_RATES: tuple[float, ...] = (0.8, 0.9, 0.95, 0.997, 1.05, 1.1, 1.2)
 
-def apply_random_attack(audio: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-    """Pick one differentiable attack at random (lax.switch — traceable)."""
+
+def make_attack_list(
+    length: int,
+    desync: bool = False,
+    stretch_rates: tuple[float, ...] = DESYNC_STRETCH_RATES,
+) -> tuple[list[Callable], int]:
+    """Attack branches with a uniform static output length.
+
+    ``lax.switch`` needs every branch to return the same shape, but the
+    phase-vocoder stretch changes length per (static) rate — so every
+    branch is cropped to the minimum branch length.  Returns
+    ``(branch_fns, out_length)``; each fn is ``(audio, key) -> audio``.
+    """
+    from aware_tpu.attacks.vocoder import time_stretch
+
+    fns: list[Callable] = list(DIFFERENTIABLE_ATTACKS)
+    out_lens = [length] * len(fns)
+    if desync:
+        for r in stretch_rates:
+            out = jax.eval_shape(
+                lambda a, r=r: time_stretch(a, r),
+                jax.ShapeDtypeStruct((length,), jnp.float32),
+            ).shape[-1]
+            fns.append(lambda a, k, r=r: time_stretch(a, r))
+            out_lens.append(out)
+    l_out = min(out_lens)
+    return [lambda a, k, f=f: f(a, k)[..., :l_out] for f in fns], l_out
+
+
+def apply_random_attack(
+    audio: jnp.ndarray, key: jax.Array, attacks: list[Callable] | None = None
+) -> jnp.ndarray:
+    """Pick one differentiable attack at random (lax.switch — traceable;
+    only the selected branch executes)."""
+    fns = list(DIFFERENTIABLE_ATTACKS) if attacks is None else attacks
     k_pick, k_attack = jax.random.split(key)
-    idx = jax.random.randint(k_pick, (), 0, len(DIFFERENTIABLE_ATTACKS))
+    idx = jax.random.randint(k_pick, (), 0, len(fns))
     return jax.lax.switch(
-        idx, [lambda a, f=f: f(a, k_attack) for f in DIFFERENTIABLE_ATTACKS], audio
+        idx, [lambda a, f=f: f(a, k_attack) for f in fns], audio
     )
 
 
@@ -197,6 +235,9 @@ class TrainConfig:
     learning_rate: float = 3e-4
     lambda_percept: float = 1.0
     train_detector: bool = False
+    # include phase-vocoder time-stretch branches in the attack mix
+    # (re-keying for desync robustness; see tools/train_desync.py)
+    desync_attacks: bool = False
     steps: int = 1000
     embedder: AmortizedEmbedderConfig = dataclasses.field(
         default_factory=AmortizedEmbedderConfig
@@ -229,7 +270,7 @@ def init_train_state(
     return TrainState(e_params, d_params, opt_state, jnp.zeros((), jnp.int32))
 
 
-def _clip_loss(cfg, e_params, d_params, audio, pattern, key):
+def _clip_loss(cfg, e_params, d_params, audio, pattern, key, desync=False):
     """One clip's adversarial loss (vmapped over the batch)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
     window = get_window(cfg.window, cfg.win_length)
@@ -242,7 +283,8 @@ def _clip_loss(cfg, e_params, d_params, audio, pattern, key):
     wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
     wm_audio = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
 
-    attacked = apply_random_attack(wm_audio, key)
+    attacks, _ = make_attack_list(wm_audio.shape[-1], desync=desync)
+    attacked = apply_random_attack(wm_audio, key, attacks)
 
     m2, _ = magphase(stft(peak_normalize(attacked), n_fft, hop, window))
     t2 = m2.shape[-1]
@@ -272,7 +314,9 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
             e_params, d_params = trainable, d_frozen
         keys = jax.random.split(key, audios.shape[0])
         det, percept, soft_ber = jax.vmap(
-            lambda a, p, k: _clip_loss(cfg, e_params, d_params, a, p, k)
+            lambda a, p, k: _clip_loss(
+                cfg, e_params, d_params, a, p, k, desync=tcfg.desync_attacks
+            )
         )(audios, patterns, keys)
         loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)
         return loss, {
