@@ -21,7 +21,7 @@ from typing import Mapping, Sequence
 import numpy as np
 
 from aware_tpu.attacks import Attack, default_attack_suite
-from aware_tpu.metrics import ber, pesq_proxy, snr, stoi
+from aware_tpu.metrics import ber, pesq, pesq_proxy, snr, stoi
 from aware_tpu.service.api import (
     AWAREDetector,
     AWAREEmbedder,
@@ -90,7 +90,9 @@ def run_robustness_eval(
     clips = _load_clips(audio_dir, n_clips, seed, sample_rate)
     rng = np.random.default_rng(seed)
 
-    rec: dict[str, list[float]] = {"clean_ber": [], "pesq": [], "stoi": [], "snr": []}
+    rec: dict[str, list[float]] = {
+        "clean_ber": [], "pesq": [], "pesq_proxy": [], "stoi": [], "snr": [],
+    }
     n_bits = embedder.output_length
     for i, audio in enumerate(clips):
         bits = rng.integers(0, 2, size=n_bits, dtype=np.int32)
@@ -101,7 +103,8 @@ def run_robustness_eval(
             continue
         detected = detect_watermark(wm, sample_rate, detector)
         rec["clean_ber"].append(ber(bits, detected))
-        rec["pesq"].append(pesq_proxy(wm, audio, sample_rate))
+        rec["pesq"].append(pesq(wm, audio, sample_rate))
+        rec["pesq_proxy"].append(pesq_proxy(wm, audio, sample_rate))
         rec["stoi"].append(stoi(wm, audio, sample_rate))
         rec["snr"].append(snr(wm, audio[: len(wm)]))
 

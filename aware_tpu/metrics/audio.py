@@ -6,17 +6,17 @@ Device-side, vmappable implementations of the reference metric surface
 * ``ber``  — bit error rate **as a percentage** (reference quirk, :16).
 * ``snr``  — 10*log10(P_out / P_err) with the *output* power in the
   numerator (nonstandard; reference :89), +inf on identical signals.
-* ``stoi`` — short-time objective intelligibility, implemented from the
-  published algorithm (Taal et al. 2011): 10 kHz resample, energy-based
-  silent-frame removal, 1/3-octave band decomposition over a 512-point
-  STFT, 384 ms segment normalization + (-15 dB) SDR clipping,
-  band-wise correlation.  The reference calls the ``pystoi`` package.
-* ``pesq_proxy`` — a PESQ-*style* perceptual score in [1.02, 4.64]
-  (wideband MOS-LQO range).  Full ITU-T P.862.2 (the reference's C
-  extension) is out of scope on-device; this proxy uses a Bark-ish
-  band loudness-difference with the asymmetry weighting idea from P.862
-  and a calibrated logistic mapping.  Documented as a proxy, suitable for
-  relative comparisons and training losses, not for reporting MOS.
+* ``stoi`` — exact host-side STOI (aware_tpu.metrics.stoi_exact — the
+  pystoi algorithm the reference calls); ``stoi_device`` is the traced
+  approximation for in-graph use (tracks exact to <2e-3 on additive
+  noise).
+* ``pesq`` — wideband PESQ MOS-LQO via the host-side P.862.2 pipeline
+  (aware_tpu.metrics.pesq_p862; reference calls the ITU C extension).
+* ``pesq_proxy`` — traced PESQ-style score in [1.02, 4.64] for in-graph /
+  training use; its map is least-squares calibrated against ``pesq`` over
+  a 72-pair degradation corpus spanning continuous AND pause-bearing
+  speech (tools/calibrate_proxy.py — MAE 0.155 MOS, Pearson 0.97;
+  PROXY_CALIBRATION.json).
 
 All metrics take (output, target) in reference argument order, accept
 stereo (L, 2) input (mean-downmixed, :27-33), truncate to the common
@@ -208,38 +208,67 @@ def _pesq_bark() -> np.ndarray:
     return _bark_matrix(512, _PESQ_SR)
 
 
-def _pesq_core(ref16: jnp.ndarray, deg16: jnp.ndarray) -> jnp.ndarray:
+def _pesq_nd(ref16: jnp.ndarray, deg16: jnp.ndarray) -> jnp.ndarray:
+    """Normalized perceptual disturbance (pre-map) of the PESQ proxy.
+
+    Level-normalizes both signals (PESQ is level-invariant), compares Bark
+    loudness over ALL frames — silent frames included, exactly where
+    additive noise hurts most in P.862 — with the P.862 asymmetry idea
+    (added disturbance weighted above removed signal).
+    """
     w = get_window("hann", 512)
+    ref16 = ref16 / (jnp.sqrt(jnp.mean(ref16**2)) + 1e-9)
+    deg16 = deg16 / (jnp.sqrt(jnp.mean(deg16**2)) + 1e-9)
     R = jnp.abs(stft(ref16, 512, 256, w)) ** 2  # (257, T)
     D = jnp.abs(stft(deg16, 512, 256, w)) ** 2
     bark = jnp.asarray(_pesq_bark())
     # loudness-ish compression (Zwicker exponent on band power)
     Lr = (bark @ R + 1e-10) ** 0.23
     Ld = (bark @ D + 1e-10) ** 0.23
-    # active frames of the reference
-    act = jnp.mean(R, axis=0) > 1e-3 * jnp.max(jnp.mean(R, axis=0))
-    wf = act.astype(Lr.dtype)
     diff = Ld - Lr
     # P.862 asymmetry: added distortion hurts more than removed signal
     disturbance = jnp.where(diff > 0, 1.8 * diff, -0.6 * diff)
-    d = jnp.sum(jnp.mean(disturbance, axis=0) * wf) / (jnp.sum(wf) + 1e-9)
-    rms_l = jnp.sqrt(jnp.sum(jnp.mean(Lr, axis=0) ** 2 * wf) / (jnp.sum(wf) + 1e-9))
-    nd = d / (rms_l + 1e-9)
-    # stretched-exponential map to the wideband MOS-LQO range [1.02, 4.64],
-    # calibrated on additive-noise sweeps over speech-like material
-    return 1.02 + 3.62 * jnp.exp(-2.2 * (nd + 1e-9) ** 0.78)
+    d = jnp.mean(jnp.mean(disturbance, axis=0))
+    rms_l = jnp.sqrt(jnp.mean(jnp.mean(Lr, axis=0) ** 2))
+    return d / (rms_l + 1e-9)
+
+
+def _pesq_core(ref16: jnp.ndarray, deg16: jnp.ndarray) -> jnp.ndarray:
+    nd = _pesq_nd(ref16, deg16)
+    # stretched-exponential map to the wideband MOS-LQO range [1.02, 4.64];
+    # constants least-squares fitted against the exact P.862.2
+    # implementation (tools/calibrate_proxy.py, PROXY_CALIBRATION.json)
+    return 1.02 + 3.6296 * jnp.exp(-2.6283 * (nd + 1e-9) ** 1.1667)
 
 
 def pesq_proxy(output, target, sampling_rate: int) -> float:
-    """PESQ-style perceptual proxy in [1.02, 4.64]; NOT ITU-T P.862.
-
-    Monotone in distortion, ~4.6 for identical signals; use for relative
-    quality tracking and differentiable objectives.
+    """Traced PESQ-style perceptual proxy in [1.02, 4.64] for in-graph /
+    training use; calibrated against :func:`pesq` (the host P.862.2
+    implementation) — see tools/calibrate_proxy.py and
+    PROXY_CALIBRATION.json.  For reported scores use :func:`pesq`.
     """
     output, target = _downmix_pair(output, target)
     d = resample(jnp.asarray(output), sampling_rate, _PESQ_SR)
     r = resample(jnp.asarray(target), sampling_rate, _PESQ_SR)
     return float(_pesq_core(r, d))
+
+
+def pesq(output, target, sampling_rate: int) -> float:
+    """Wideband PESQ MOS-LQO (P.862.2 pipeline, host-side).
+
+    Mirrors the reference wrapper (metrics/audio.py:19-39): stereo
+    mean-downmix, truncate to common length, resample to 16 kHz, then
+    ``pesq(16000, ref, deg, 'wb')`` — implemented in
+    aware_tpu.metrics.pesq_p862 (see its docstring for the exactness
+    statement: ITU pipeline/constants, reconstructed band tables).
+    """
+    from aware_tpu.metrics.pesq_p862 import pesq_wb
+
+    output, target = _downmix_pair(output, target)
+    if sampling_rate != 16000:
+        output = np.asarray(resample(jnp.asarray(output), sampling_rate, 16000))
+        target = np.asarray(resample(jnp.asarray(target), sampling_rate, 16000))
+    return pesq_wb(target, output, 16000)
 
 
 # ------------------------------------------------- reference-style classes ---
@@ -262,7 +291,8 @@ class STOI:
 
 
 class PESQ:
-    """PESQ-proxy callable; reference calls the P.862 C extension (:19-39)."""
+    """Wideband PESQ callable (P.862.2 pipeline; reference calls the ITU C
+    extension at :19-39)."""
 
     def __call__(self, output, target, sampling_rate: int) -> float:
-        return pesq_proxy(output, target, sampling_rate)
+        return pesq(output, target, sampling_rate)

@@ -238,6 +238,17 @@ class TrainConfig:
     # include phase-vocoder time-stretch branches in the attack mix
     # (re-keying for desync robustness; see tools/train_desync.py)
     desync_attacks: bool = False
+    # compute the detection loss on BOTH the clean and the attacked view of
+    # the watermarked clip.  Essential for joint (train_detector=True)
+    # training: with only hard attacked views the detector collapses to the
+    # all-zero saddle (observed: soft_ber pinned at 0.50) because early
+    # embedder patterns are unreadable post-attack; the clean view keeps a
+    # learnable path open at every step.
+    dual_view: bool = False
+    # separate detector learning rate for joint training (None -> shared);
+    # a gentler detector keeps the keyed structure from being destroyed
+    # before the embedder can follow.
+    detector_lr: float | None = None
     steps: int = 1000
     embedder: AmortizedEmbedderConfig = dataclasses.field(
         default_factory=AmortizedEmbedderConfig
@@ -252,6 +263,14 @@ class TrainState(NamedTuple):
 
 
 def _optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    if tcfg.train_detector and tcfg.detector_lr is not None:
+        return optax.multi_transform(
+            {
+                "e": optax.adamw(tcfg.learning_rate, weight_decay=1e-5),
+                "d": optax.adamw(tcfg.detector_lr, weight_decay=0.0),
+            },
+            ("e", "d"),
+        )
     return optax.adamw(tcfg.learning_rate, weight_decay=1e-5)
 
 
@@ -270,7 +289,9 @@ def init_train_state(
     return TrainState(e_params, d_params, opt_state, jnp.zeros((), jnp.int32))
 
 
-def _clip_loss(cfg, e_params, d_params, audio, pattern, key, desync=False):
+def _clip_loss(
+    cfg, e_params, d_params, audio, pattern, key, desync=False, dual_view=False
+):
     """One clip's adversarial loss (vmapped over the batch)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
     window = get_window(cfg.window, cfg.win_length)
@@ -286,21 +307,31 @@ def _clip_loss(cfg, e_params, d_params, audio, pattern, key, desync=False):
     attacks, _ = make_attack_list(wm_audio.shape[-1], desync=desync)
     attacked = apply_random_attack(wm_audio, key, attacks)
 
-    m2, _ = magphase(stft(peak_normalize(attacked), n_fft, hop, window))
-    t2 = m2.shape[-1]
-    m2 = jnp.concatenate(
-        [
-            jnp.zeros((lo, t2), m2.dtype),
-            m2[lo:hi],
-            jnp.zeros((m2.shape[0] - hi, t2), m2.dtype),
-        ]
-    )
-    pred = detector_apply(d_params, m2, cfg.detection_net, cfg.matmul_precision)
+    def _detect(x):
+        m2, _ = magphase(stft(peak_normalize(x), n_fft, hop, window))
+        t2 = m2.shape[-1]
+        m2 = jnp.concatenate(
+            [
+                jnp.zeros((lo, t2), m2.dtype),
+                m2[lo:hi],
+                jnp.zeros((m2.shape[0] - hi, t2), m2.dtype),
+            ]
+        )
+        return detector_apply(
+            d_params, m2, cfg.detection_net, cfg.matmul_precision
+        )
 
-    det_loss = jnp.mean((pred - pattern) ** 2) - 0.1 * jnp.mean(jnp.abs(pred))
+    def _push_extremes(pred):
+        return jnp.mean((pred - pattern) ** 2) - 0.1 * jnp.mean(jnp.abs(pred))
+
+    pred = _detect(attacked)
+    det_loss = _push_extremes(pred)
+    if dual_view:
+        det_loss = 0.5 * (det_loss + _push_extremes(_detect(wm_audio)))
     percept = jnp.mean((jnp.log1p(band_new) - jnp.log1p(band)) ** 2)
     soft_ber = jnp.mean(jax.nn.sigmoid(-4.0 * pred * pattern))
-    return det_loss, percept, soft_ber
+    hard_ber = jnp.mean((pred * pattern <= 0).astype(jnp.float32))
+    return det_loss, percept, soft_ber, hard_ber
 
 
 def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
@@ -313,9 +344,10 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
         else:
             e_params, d_params = trainable, d_frozen
         keys = jax.random.split(key, audios.shape[0])
-        det, percept, soft_ber = jax.vmap(
+        det, percept, soft_ber, hard_ber = jax.vmap(
             lambda a, p, k: _clip_loss(
-                cfg, e_params, d_params, a, p, k, desync=tcfg.desync_attacks
+                cfg, e_params, d_params, a, p, k,
+                desync=tcfg.desync_attacks, dual_view=tcfg.dual_view,
             )
         )(audios, patterns, keys)
         loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)
@@ -324,6 +356,7 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
             "det_loss": jnp.mean(det),
             "percept": jnp.mean(percept),
             "soft_ber": jnp.mean(soft_ber),
+            "hard_ber": jnp.mean(hard_ber),
         }
 
     def step(state: TrainState, audios, patterns, key):
@@ -399,8 +432,10 @@ def train_amortized_embedder(
         history.append({k: float(v) for k, v in metrics.items()})
         if i % 50 == 0:
             logger.info(
-                "train step %d: loss=%.4f soft_ber=%.4f percept=%.5f",
+                "train step %d: loss=%.4f soft_ber=%.4f hard_ber=%.4f "
+                "percept=%.5f",
                 i, history[-1]["loss"], history[-1]["soft_ber"],
+                history[-1].get("hard_ber", float("nan")),
                 history[-1]["percept"],
             )
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
