@@ -9,6 +9,10 @@
 //   * the silence-gate VAD with semantics identical to
 //     aware_tpu/ops/vad.py (energy + speech-band share via an exact
 //     N-point real DFT + zero-crossing rate, 30 ms frames)
+//   * a WebRTC-architecture GMM VAD (6-band allpass filterbank, adaptive
+//     two-component noise/speech GMMs per band, LLR hypothesis tests,
+//     hangover) — the reference-faithful classifier, incl. webrtcvad's
+//     loud-noise/tone false-positive tendency
 //   * truncating PCM bit-depth quantization (attack preprocessing)
 //   * a multithreaded prefetching batch loader that reads WAV files,
 //     converts to float32 mono, pads/truncates to a fixed clip length
@@ -17,6 +21,8 @@
 // Exposed as a flat C ABI consumed by aware_tpu/native.py via ctypes.
 // Build: make -C aware_tpu/_native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -221,6 +227,273 @@ int an_vad_is_silent(const float* audio, int64_t len, int32_t sample_rate,
     if (!((double)crossings / (frame_len - 1) < 0.35)) continue;
     ++voiced;
   }
+  double speech_seconds = voiced * (frame_ms / 1000.0);
+  return speech_seconds < min_speech_seconds ? 1 : 0;
+}
+
+// ----------------------------------------------- GMM VAD (WebRTC-style) ---
+//
+// Float reimplementation of the WebRTC VAD *architecture* — the GMM
+// classifier the reference's SilenceChecker calls through the webrtcvad C
+// extension (reference: utils/audio/waveform.py:22-46):
+//
+//   * audio brought to 8 kHz by half-band allpass decimation
+//   * six sub-band log-energy features (80-250, 250-500, 500-1000,
+//     1000-2000, 2000-3000, 3000-4000 Hz) via WebRTC's polyphase two-path
+//     allpass splits (coefficients 0.6401 and 0.1699)
+//   * per band: a 2-component noise GMM and a 2-component speech GMM over
+//     the log-energy feature, adapted online, with minimum-statistics
+//     noise anchoring and enforced speech/noise separation
+//   * per-frame decision: per-channel log-likelihood-ratio tests plus a
+//     weighted global LLR, thresholds per aggressiveness (3 = strictest),
+//     hangover smoothing
+//
+// The original's fixed-point tables are not reproduced (not available in
+// this image); the float models self-adapt from role-equivalent
+// initializations.  Decisions on clearly voiced / clearly unvoiced
+// material match the reference gate; borderline behavior is bounded
+// against the spectral gate in tools/vad_divergence.py.
+
+namespace gmmvad {
+
+struct Gauss { double mean, std; };
+
+static inline double gauss_log_pdf(double x, const Gauss& g) {
+  double d = (x - g.mean) / g.std;
+  return -0.5 * d * d - log(g.std * 2.5066282746310002);
+}
+
+// one-multiplier first-order allpass: H(z) = (c + z^-1) / (1 + c z^-1)
+static void allpass(const std::vector<float>& in, double c,
+                    std::vector<float>* out) {
+  out->resize(in.size());
+  double state = 0.0;
+  for (size_t i = 0; i < in.size(); ++i) {
+    double y = c * in[i] + state;
+    state = in[i] - c * y;
+    (*out)[i] = (float)y;
+  }
+}
+
+// half-band split by two-path polyphase allpass; outputs at half rate
+static void split_band(const std::vector<float>& in, std::vector<float>* lp,
+                       std::vector<float>* hp) {
+  std::vector<float> even, odd;
+  even.reserve(in.size() / 2 + 1);
+  odd.reserve(in.size() / 2 + 1);
+  for (size_t i = 0; i + 1 < in.size(); i += 2) {
+    even.push_back(in[i]);
+    odd.push_back(in[i + 1]);
+  }
+  if (odd.size() > even.size()) odd.resize(even.size());
+  if (even.size() > odd.size()) even.resize(odd.size());
+  std::vector<float> a0, a1;
+  allpass(even, 0.6401, &a0);   // WebRTC kAllPassCoefsQ13 ~ 5243/8192
+  allpass(odd, 0.1699, &a1);    //                         ~ 1392/8192
+  lp->resize(a0.size());
+  hp->resize(a0.size());
+  for (size_t i = 0; i < a0.size(); ++i) {
+    (*lp)[i] = 0.5f * (a0[i] + a1[i]);
+    (*hp)[i] = 0.5f * (a0[i] - a1[i]);
+  }
+}
+
+// Butterworth high-pass biquad, fc=80 Hz at fs=500 Hz (the lowest band's
+// 80 Hz floor)
+static void hp80_at500(std::vector<float>* x) {
+  const double b0 = 0.4808, b1 = -0.9615, b2 = 0.4808;
+  const double a1 = -0.6709, a2 = 0.2524;
+  double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
+  for (size_t i = 0; i < x->size(); ++i) {
+    double xi = (*x)[i];
+    double y = b0 * xi + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
+    x2 = x1; x1 = xi; y2 = y1; y1 = y;
+    (*x)[i] = (float)y;
+  }
+}
+
+static double log_energy(const std::vector<float>& x) {
+  double acc = 0.0;
+  for (float v : x) acc += (double)v * v;
+  double n = x.size() > 0 ? (double)x.size() : 1.0;
+  return 10.0 * log10(acc / n + 1e-12);
+}
+
+// six sub-band log energies of one 8 kHz frame
+static void frame_features(const std::vector<float>& frame8k, double* feat) {
+  std::vector<float> lo2k, b24, b23, b34, lo1k, b12, lo500, b051, lo250,
+      b0255;
+  split_band(frame8k, &lo2k, &b24);   // 0-2k | 2-4k @4k
+  split_band(b24, &b23, &b34);        // 2-3k | 3-4k @2k
+  split_band(lo2k, &lo1k, &b12);      // 0-1k | 1-2k @2k
+  split_band(lo1k, &lo500, &b051);    // 0-500 | 500-1k @1k
+  split_band(lo500, &lo250, &b0255);  // 0-250 | 250-500 @500
+  hp80_at500(&lo250);                 // 80-250
+  feat[0] = log_energy(lo250);
+  feat[1] = log_energy(b0255);
+  feat[2] = log_energy(b051);
+  feat[3] = log_energy(b12);
+  feat[4] = log_energy(b23);
+  feat[5] = log_energy(b34);
+}
+
+struct Model {
+  Gauss noise[6][2];
+  Gauss speech[6][2];
+  double fmin[6];  // minimum-statistics noise anchor
+  int hangover = 0;
+  int voiced_streak = 0;
+
+  Model() {
+    // Absolute initialization, mirroring the role of the original's
+    // trained Q7 tables: noise components at quiet-room levels, speech
+    // components spread over conversational band energies.  Like the
+    // original, this makes loud stationary noise and tones read as
+    // "speech" (webrtcvad's documented false-positive tendency) — the
+    // service's default spectral gate (ops/vad.py) rejects those, as an
+    // improvement; this classifier is the reference-faithful one.
+    for (int ch = 0; ch < 6; ++ch) {
+      noise[ch][0] = {-70.0, 7.0};
+      noise[ch][1] = {-58.0, 9.0};
+      speech[ch][0] = {-48.0, 12.0};
+      speech[ch][1] = {-24.0, 12.0};
+      fmin[ch] = -70.0;
+    }
+  }
+};
+
+// per-aggressiveness thresholds: {local LLR, global weighted LLR}
+static const double kLocalThr[4] = {0.4, 0.6, 0.8, 1.1};
+static const double kGlobalThr[4] = {0.8, 1.1, 1.5, 1.9};
+// band weights of the global test (speech energy concentrates low)
+static const double kBandWeight[6] = {0.25, 0.25, 0.20, 0.15, 0.10, 0.05};
+static const double kMinEnergyDb = -75.0;  // hard floor
+
+static double noisemax(const Model* m, int ch) {
+  return m->noise[ch][0].mean > m->noise[ch][1].mean ? m->noise[ch][0].mean
+                                                     : m->noise[ch][1].mean;
+}
+
+static bool classify_and_adapt(Model* m, const double* feat, int aggr) {
+  double llr[6];
+  double total = 0.0, frame_db = -1e9;
+  for (int ch = 0; ch < 6; ++ch) {
+    double h0 = log(0.5 * exp(gauss_log_pdf(feat[ch], m->noise[ch][0])) +
+                    0.5 * exp(gauss_log_pdf(feat[ch], m->noise[ch][1])) +
+                    1e-300);
+    double h1 = log(0.5 * exp(gauss_log_pdf(feat[ch], m->speech[ch][0])) +
+                    0.5 * exp(gauss_log_pdf(feat[ch], m->speech[ch][1])) +
+                    1e-300);
+    llr[ch] = h1 - h0;
+    total += kBandWeight[ch] * llr[ch];
+    if (feat[ch] > frame_db) frame_db = feat[ch];
+  }
+  bool voiced = false;
+  if (frame_db > kMinEnergyDb) {
+    for (int ch = 0; ch < 6 && !voiced; ++ch)
+      if (llr[ch] > kLocalThr[aggr & 3]) voiced = true;
+    if (total > kGlobalThr[aggr & 3]) voiced = true;
+  }
+
+  // hangover smoothing (extends speech runs; cannot turn a fully-unvoiced
+  // clip voiced because it only triggers after >=2 voiced frames)
+  if (voiced) {
+    if (++m->voiced_streak >= 2) m->hangover = 4;
+  } else {
+    m->voiced_streak = 0;
+    if (m->hangover > 0) {
+      --m->hangover;
+      voiced = true;
+    }
+  }
+
+  // adaptation
+  for (int ch = 0; ch < 6; ++ch) {
+    double x = feat[ch];
+    // minimum statistics with slow upward leak
+    m->fmin[ch] = x < m->fmin[ch] ? x : m->fmin[ch] + 0.02;
+    if (voiced) {
+      int k = fabs(x - m->speech[ch][0].mean) <
+                      fabs(x - m->speech[ch][1].mean)
+                  ? 0
+                  : 1;
+      m->speech[ch][k].mean += 0.03 * (x - m->speech[ch][k].mean);
+    } else {
+      int k = fabs(x - m->noise[ch][0].mean) < fabs(x - m->noise[ch][1].mean)
+                  ? 0
+                  : 1;
+      m->noise[ch][k].mean += 0.03 * (x - m->noise[ch][k].mean);
+      // anchor the lower noise component to the tracked minimum
+      m->noise[ch][0].mean += 0.05 * (m->fmin[ch] - m->noise[ch][0].mean);
+    }
+    // enforce speech/noise separation (WebRTC does the same in Q7)
+    double nmax = noisemax(m, ch);
+    for (int k = 0; k < 2; ++k)
+      if (m->speech[ch][k].mean < nmax + 6.0)
+        m->speech[ch][k].mean = nmax + 6.0;
+  }
+  return voiced;
+}
+
+// bring a frame to 8 kHz (supports 8/16/32/48 kHz like the original)
+static bool to_8k(const float* x, int n, int sample_rate,
+                  std::vector<float>* out) {
+  std::vector<float> cur(x, x + n);
+  int rate = sample_rate;
+  while (rate > 8000) {
+    if (rate % 2 != 0) return false;
+    std::vector<float> lp, hp;
+    split_band(cur, &lp, &hp);
+    cur.swap(lp);
+    rate /= 2;
+  }
+  if (rate != 8000) return false;
+  out->swap(cur);
+  return true;
+}
+
+}  // namespace gmmvad
+
+// Per-frame voiced flags via the GMM VAD.  Returns the number of frames
+// written (<= max_frames), or -1 on unsupported parameters.
+int64_t an_vad_gmm_flags(const float* audio, int64_t len, int32_t sample_rate,
+                         float frame_ms, int32_t aggressiveness,
+                         uint8_t* flags_out, int64_t max_frames) {
+  int frame_len = (int)(sample_rate * frame_ms / 1000.0f);
+  if (frame_len <= 0) return -1;
+  int64_t n_frames = len / frame_len;
+  if (n_frames > max_frames) n_frames = max_frames;
+  if (n_frames <= 0) return 0;
+
+  gmmvad::Model model;
+  std::vector<float> frame8k;
+  std::array<double, 6> feat;
+  for (int64_t t = 0; t < n_frames; ++t) {
+    if (!gmmvad::to_8k(audio + t * frame_len, frame_len, sample_rate,
+                       &frame8k))
+      return -1;
+    gmmvad::frame_features(frame8k, feat.data());
+    flags_out[t] =
+        gmmvad::classify_and_adapt(&model, feat.data(), aggressiveness)
+            ? 1
+            : 0;
+  }
+  return n_frames;
+}
+
+// Reference gate semantics over the GMM classifier: 1 = silent.
+int an_vad_gmm_is_silent(const float* audio, int64_t len,
+                         int32_t sample_rate, float frame_ms,
+                         int32_t aggressiveness, float min_speech_seconds) {
+  int frame_len = (int)(sample_rate * frame_ms / 1000.0f);
+  if (frame_len <= 0) return 1;
+  int64_t n_frames = len / frame_len;
+  std::vector<uint8_t> flags(n_frames > 0 ? n_frames : 1, 0);
+  int64_t n = an_vad_gmm_flags(audio, len, sample_rate, frame_ms,
+                               aggressiveness, flags.data(), n_frames);
+  if (n < 0) return 1;
+  int64_t voiced = 0;
+  for (int64_t i = 0; i < n; ++i) voiced += flags[i];
   double speech_seconds = voiced * (frame_ms / 1000.0);
   return speech_seconds < min_speech_seconds ? 1 : 0;
 }

@@ -61,6 +61,17 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ctypes.c_float, ctypes.c_int32, ctypes.c_float,
     ]
+    lib.an_vad_gmm_is_silent.restype = ctypes.c_int
+    lib.an_vad_gmm_is_silent.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_float,
+    ]
+    lib.an_vad_gmm_flags.restype = ctypes.c_int64
+    lib.an_vad_gmm_flags.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
     lib.an_pcm_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32
     ]
@@ -143,6 +154,57 @@ def vad_is_silent(
             min_speech_seconds,
         )
     )
+
+
+def vad_gmm_is_silent(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    frame_ms: float = 30.0,
+    aggressiveness: int = 3,
+    min_speech_seconds: float = 0.01,
+) -> bool:
+    """Reference-faithful GMM silence gate (WebRTC VAD architecture: 6-band
+    allpass filterbank, adaptive 2-component GMMs, LLR tests, hangover —
+    see aware_native.cc).  Requires the native library (no Python
+    fallback; use :func:`vad_is_silent` / ops.vad otherwise).
+
+    Inherits webrtcvad's documented false-positive tendency on loud
+    stationary noise and tones; the service's default spectral gate
+    rejects those (a documented improvement over the reference)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no C++ toolchain)")
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    rc = lib.an_vad_gmm_is_silent(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        audio.shape[-1], sample_rate, frame_ms, aggressiveness,
+        min_speech_seconds,
+    )
+    return bool(rc)
+
+
+def vad_gmm_flags(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    frame_ms: float = 30.0,
+    aggressiveness: int = 3,
+) -> np.ndarray:
+    """Per-frame voiced decisions from the GMM VAD -> bool (n_frames,)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no C++ toolchain)")
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    frame_len = int(sample_rate * frame_ms / 1000.0)
+    n_frames = audio.shape[-1] // frame_len
+    flags = np.zeros(max(n_frames, 1), dtype=np.uint8)
+    n = lib.an_vad_gmm_flags(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        audio.shape[-1], sample_rate, frame_ms, aggressiveness,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_frames,
+    )
+    if n < 0:
+        raise ValueError("unsupported sample rate / frame length for GMM VAD")
+    return flags[:n].astype(bool)
 
 
 def pcm_quantize(audio: np.ndarray, bits: int) -> np.ndarray:

@@ -97,3 +97,44 @@ def test_batch_loader_deterministic(tmp_path):
     assert len(a) == len(b) == 3
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_gmm_vad_fixtures(speechlike, rng):
+    """Reference-faithful GMM VAD: voiced/unvoiced gate decisions
+    (webrtcvad architecture; see aware_native.cc gmmvad section)."""
+    from aware_tpu.native import native_available, vad_gmm_is_silent
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    sr = 16000
+    assert not vad_gmm_is_silent(speechlike, sr)          # speech passes
+    # quiet speech (-20 dB) passes; like webrtcvad the features are raw
+    # band energies, so detection is level-dependent by design (the
+    # reference feeds unnormalized audio to the gate, waveform.py:31-36)
+    assert not vad_gmm_is_silent(speechlike * 0.1, sr)
+    assert vad_gmm_is_silent(np.zeros(2 * sr, np.float32), sr)
+    hiss = (0.001 * rng.standard_normal(2 * sr)).astype(np.float32)
+    assert vad_gmm_is_silent(hiss, sr)
+    # webrtcvad-faithful false positives: loud stationary noise & tones
+    loud = (0.5 * rng.standard_normal(2 * sr)).astype(np.float32)
+    assert not vad_gmm_is_silent(loud, sr)
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * np.arange(2 * sr) / sr)).astype(
+        np.float32
+    )
+    assert not vad_gmm_is_silent(tone, sr)
+
+
+def test_gmm_vad_flags_shape_and_rates(speechlike):
+    from aware_tpu.native import native_available, vad_gmm_flags
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    flags = vad_gmm_flags(speechlike, 16000)
+    assert flags.shape == (len(speechlike) // 480,)
+    assert flags.any()
+    # 8 kHz input path (one fewer filterbank halving)
+    flags8 = vad_gmm_flags(speechlike[::2].copy(), 8000)
+    assert flags8.any()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vad_gmm_flags(speechlike, 44100)  # not reducible to 8 kHz
