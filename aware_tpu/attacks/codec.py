@@ -2,15 +2,36 @@
 
 The reference shells out to ffmpeg/libmp3lame per clip
 (reference: scripts/attacks.py:105-148).  For a TPU-native attack layer the
-codec is approximated in-graph: MDCT analysis with a sine window, a
-psychoacoustic-ish masking threshold from Bark-band spreading, quality-
-scaled quantization of the MDCT coefficients, inverse MDCT.  The
-approximation reproduces the *signal-degradation character* of MP3 (band-
-limited quantization noise shaped under the signal's spectral envelope,
-pre/post-echo at transients) without bit-exact codec behavior.
+codec is approximated in-graph with the Layer-III mechanisms that shape
+the noise a watermark detector actually sees:
 
-Quantization uses straight-through rounding so the whole attack is
-differentiable for in-loop adversarial training (BASELINE config 4).
+* MDCT analysis over 1152-sample granule pairs with a sine window
+  (Princen-Bradley TDAC, 50% overlap-add synthesis);
+* a psychoacoustic masking threshold from Bark-band spreading of the
+  per-frame magnitude envelope;
+* **scalefactor-band quantization**: one step size per SFB per frame
+  (21 Bark-spaced bands, like Layer-III long blocks), not per coefficient
+  — quantization noise is flat within each band, exactly the structure a
+  real decoder emits;
+* **power-law companding**: coefficients are quantized as |c|^(3/4)
+  (the Layer-III nonuniform quantizer), giving level-dependent noise;
+* **bit-reservoir pressure**: per-frame step scaling by the frame's
+  energy share (loud frames get relatively fewer bits), smoothed over
+  frames like the reservoir does;
+* **transient gating**: frames with a sharp energy rise get finer steps,
+  approximating the short-block switch that limits pre-echo;
+* a quality-dependent high-frequency cutoff (lame's VBR lowpass).
+
+Quantization uses straight-through rounding and the transient gate is a
+sigmoid, so the whole attack stays differentiable for in-loop adversarial
+training (BASELINE config 4).
+
+Real-codec risk statement: this is a behavioral approximation — bitstream
+effects (Huffman limits, joint stereo, encoder delay) are not modeled, so
+robustness numbers against this attack are evidence, not proof, of
+robustness to real MP3.  Where ffmpeg exists, tools/mp3_crosscheck.py
+measures the approximation against the real encoder per quality level and
+writes MP3_CROSSCHECK.json; in images without ffmpeg it skips loudly.
 """
 
 from __future__ import annotations
@@ -23,12 +44,18 @@ import numpy as np
 
 _FRAME = 1152  # MP3 granule-pair size
 _HOP = _FRAME // 2
+_N_SFB = 21    # Layer-III long-block scalefactor band count
 
 # quality 0 (best) .. 9 (worst) -> noise-floor scale relative to masking
 # threshold; calibrated so q=9 is clearly audible and q=0 near-transparent
 _QUALITY_SCALE = {
     0: 0.02, 1: 0.035, 2: 0.06, 3: 0.1, 4: 0.17,
     5: 0.28, 6: 0.45, 7: 0.7, 8: 1.1, 9: 1.8,
+}
+# lame VBR applies a lowpass that tightens with quality; fractions of sr/2
+_QUALITY_CUTOFF = {
+    0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 0.95,
+    5: 0.90, 6: 0.85, 7: 0.82, 8: 0.76, 9: 0.70,
 }
 
 
@@ -61,6 +88,21 @@ def _bark_spread(n_coef: int, sr: int) -> np.ndarray:
     return spread.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _sfb_matrices(n_coef: int, sr: int) -> tuple[np.ndarray, np.ndarray]:
+    """Scalefactor-band aggregation: (pool (N_SFB, n_coef) mean-pooling,
+    expand (n_coef, N_SFB) one-hot) over Bark-uniform band edges."""
+    f = (np.arange(n_coef) + 0.5) * (sr / 2.0) / n_coef
+    z = 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+    edges = np.linspace(0.0, z[-1] * (1 + 1e-9), _N_SFB + 1)
+    band = np.clip(np.searchsorted(edges, z, side="right") - 1, 0, _N_SFB - 1)
+    expand = np.zeros((n_coef, _N_SFB), np.float32)
+    expand[np.arange(n_coef), band] = 1.0
+    counts = expand.sum(axis=0)
+    pool = (expand / np.maximum(counts, 1.0)).T  # mean over band members
+    return pool, expand
+
+
 def _ste_round(x: jnp.ndarray) -> jnp.ndarray:
     """round() with a straight-through gradient."""
     return x + jax.lax.stop_gradient(jnp.round(x) - x)
@@ -69,6 +111,7 @@ def _ste_round(x: jnp.ndarray) -> jnp.ndarray:
 def mp3_approx(x: jnp.ndarray, sr: int, quality: int = 2) -> jnp.ndarray:
     """MDCT-domain perceptual quantization; length-preserving."""
     scale = _QUALITY_SCALE[int(quality)]
+    cutoff = _QUALITY_CUTOFF[int(quality)]
     n = _FRAME
     L = x.shape[-1]
     pad = (-(L - n) % _HOP) + n  # cover the tail + one extra frame of lead
@@ -80,11 +123,41 @@ def mp3_approx(x: jnp.ndarray, sr: int, quality: int = 2) -> jnp.ndarray:
     M = jnp.asarray(_mdct_matrix(n))
     coefs = frames @ M  # (..., T, n//2)
 
-    # masking threshold: spread magnitude envelope per frame
+    # masking threshold: spread magnitude envelope, pooled per SFB
     spread = jnp.asarray(_bark_spread(n // 2, sr))
+    pool, expand = map(jnp.asarray, _sfb_matrices(n // 2, sr))
     envelope = jnp.abs(coefs) @ spread.T
-    step = scale * (envelope + 1e-6)
-    q = _ste_round(coefs / step) * step
+    sfb_env = envelope @ pool.T            # (..., T, N_SFB)
+    step_sfb = scale * (sfb_env + 1e-6)
+
+    # bit-reservoir pressure: loud frames get relatively larger steps
+    # (fewer bits per unit energy), smoothed over ~5 granule pairs
+    e_frame = jnp.mean(coefs**2, axis=-1) + 1e-12     # (..., T)
+    e_smooth = _smooth5(e_frame)
+    pressure = (e_frame / (jnp.mean(e_smooth, axis=-1, keepdims=True) + 1e-12))
+    pressure = jnp.clip(pressure, 0.25, 4.0) ** 0.25   # (..., T)
+
+    # transient gate: sharp energy rise -> short-block-like finer steps
+    prev = jnp.concatenate([e_frame[..., :1], e_frame[..., :-1]], axis=-1)
+    rise = e_frame / (prev + 1e-12)
+    gate = 1.0 / (1.0 + 3.0 * jax.nn.sigmoid((rise - 6.0) / 2.0))  # (..., T)
+
+    step = (step_sfb * (pressure * gate)[..., None]) @ expand.T  # per coef
+
+    # Layer-III nonuniform quantizer: |c|^(3/4) domain, straight-through.
+    # x^0.75 has an infinite derivative at 0 — clamp below one quantizer
+    # LSB where the output rounds to 0 anyway, keeping gradients finite.
+    mag = jnp.maximum(jnp.abs(coefs) / step, 1e-4)
+    qmag = jnp.maximum(_ste_round(mag ** 0.75), 0.0) ** (4.0 / 3.0)
+    q = jnp.sign(coefs) * qmag * step
+
+    # quality lowpass (lame's VBR cutoff)
+    if cutoff < 1.0:
+        n_keep = int(cutoff * (n // 2))
+        mask = jnp.concatenate(
+            [jnp.ones(n_keep, q.dtype), jnp.zeros(n // 2 - n_keep, q.dtype)]
+        )
+        q = q * mask
 
     rec = q @ M.T  # (..., T, n) — synthesis with the same windowed basis;
     # the sine window satisfies Princen-Bradley so TDAC aliasing cancels
@@ -95,3 +168,10 @@ def mp3_approx(x: jnp.ndarray, sr: int, quality: int = 2) -> jnp.ndarray:
     out_rows = out_rows.at[..., 1 : n_frames + 1, :].add(chunks[..., 1, :])
     y = out_rows.reshape(*x.shape[:-1], -1)
     return y[..., _HOP : _HOP + L]
+
+
+def _smooth5(e: jnp.ndarray) -> jnp.ndarray:
+    """5-tap moving average along the last axis (edge-padded)."""
+    pad = [(0, 0)] * (e.ndim - 1) + [(2, 2)]
+    ep = jnp.pad(e, pad, mode="edge")
+    return sum(ep[..., i : i + e.shape[-1]] for i in range(5)) / 5.0

@@ -15,11 +15,21 @@ with attacks applied once (our implementations) to identical inputs.
 |A - B| is the detector-level BER delta; |A - C| bounds the end-to-end
 delta attributable to the embed solver.
 
-Run:  python tools/parity_eval.py  (CPU, a few minutes)
+Clips span 6 generator families (1/k-harmonic, formant-vowel, buzzy
+pulse-train, voiced+aspiration, syllabic-burst, hard-pause speech) so
+each attack row aggregates n_clips x 20 bits from heterogeneous material.
+The turbo card (50-iteration solver, matched on both sides) and the
+amortized one-shot embedder (A/B only — no reference counterpart exists)
+are run through the same suite.
+
+Run:  python tools/parity_eval.py [--clips 24] [--device tpu|cpu]
+      (--device tpu runs our embeds/detects on the chip; the torch oracle
+       is always host CPU.  CPU-only at 24 clips takes ~2 h on one core.)
 """
 
 from __future__ import annotations
 
+import argparse
 import pathlib
 import sys
 
@@ -27,102 +37,207 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
-import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+def make_clip(i: int, seed: int) -> np.ndarray:
+    """Round-robin over 6 clip families."""
+    from aware_tpu.eval import synthesize_speech_clip
+    from aware_tpu.train.distill import diverse_clip
 
-import jax.numpy as jnp  # noqa: E402
+    fam = i % 6
+    if fam < 4:
+        return diverse_clip(4 * (seed + i) + fam)
+    if fam == 4:
+        return synthesize_speech_clip(seed + i)
+    # hard-pause speech
+    sr = 16000
+    rng = np.random.default_rng(seed + i)
+    t = np.arange(2 * sr) / sr
+    ph = np.cumsum(2 * np.pi * (110 + 50 * np.sin(2 * np.pi * 1.6 * t)) / sr)
+    x = sum(np.cos(k * ph + rng.random() * 6) / k for k in range(1, 28))
+    x *= np.clip(np.sin(2 * np.pi * (1.4 + rng.random()) * t), 0, None) ** 0.5
+    return (x / np.abs(x).max()).astype(np.float32)
 
-from aware_tpu.attacks import default_attack_suite  # noqa: E402
-from aware_tpu.config import AwareConfig  # noqa: E402
-from aware_tpu.embed import embed_one  # noqa: E402
-from aware_tpu.eval import synthesize_speech_clip  # noqa: E402
-from aware_tpu.metrics import ber  # noqa: E402
-from aware_tpu.models import detect_values, init_params  # noqa: E402
-from tests.oracles.torch_ref import (  # noqa: E402
-    OracleDetectorNet,
-    oracle_detect_values,
-    oracle_embed,
-)
 
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu")
+    ap.add_argument("--skip-turbo", action="store_true")
+    ap.add_argument("--skip-amortized", action="store_true")
+    args = ap.parse_args()
 
-def main(n_clips: int = 2, seed: int = 0) -> None:
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from aware_tpu.attacks import default_attack_suite
+    from aware_tpu.config import AwareConfig
+    from aware_tpu.embed import embed_one
+    from aware_tpu.metrics import ber
+    from aware_tpu.models import detect_values, init_params
+    from tests.oracles.torch_ref import (
+        OracleDetectorNet,
+        oracle_detect_values,
+        oracle_embed,
+    )
+
     cfg = AwareConfig()
     params = init_params(cfg.detection_net)
     oracle = OracleDetectorNet().eval()
     attacks = default_attack_suite()
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(args.seed)
+    n_clips = args.clips
 
-    rows: dict[str, list[tuple[float, float, float]]] = {}
+    def our_detect(audio) -> np.ndarray:
+        return np.asarray(detect_values(params, jnp.asarray(audio, jnp.float32)))
+
+    # amortized one-shot embedder (no reference counterpart: A/B only)
+    amortized = None
+    if not args.skip_amortized:
+        from aware_tpu.service.api import AWAREEmbedder
+        from aware_tpu.service.fast import embed_watermark_oneshot
+
+        model = AWAREEmbedder(params=params, cfg=cfg)
+
+        def amortized(clip, bits):
+            return embed_watermark_oneshot(clip, 16000, bits, model)
+
+    turbo_cfg = (
+        None
+        if args.skip_turbo
+        else AwareConfig.from_card(
+            pathlib.Path(__file__).parent.parent
+            / "aware_tpu" / "cards" / "turbo.yaml"
+        )
+    )
+
+    tables: dict[str, dict[str, list[tuple[float, float, float]]]] = {
+        "default": {}, "turbo": {}, "amortized": {},
+    }
+
     for i in range(n_clips):
-        clip = synthesize_speech_clip(seed + i)
+        clip = make_clip(i, args.seed)
         bits = rng.integers(0, 2, 20).astype(np.int32)
         wm = (2 * bits - 1).astype(np.float32)
 
+        variants: list[tuple[str, np.ndarray, np.ndarray | None]] = []
         ours = np.asarray(
             embed_one(params, jnp.asarray(clip), jnp.asarray(wm), cfg).audio
         )
         theirs = oracle_embed(oracle, clip, wm)
+        variants.append(("default", ours, theirs))
+        if turbo_cfg is not None:
+            ours_t = np.asarray(
+                embed_one(params, jnp.asarray(clip), jnp.asarray(wm), turbo_cfg).audio
+            )
+            theirs_t = oracle_embed(
+                oracle, clip, wm, num_iterations=turbo_cfg.num_iterations
+            )
+            variants.append(("turbo", ours_t, theirs_t))
+        if amortized is not None:
+            variants.append(("amortized", amortized(clip, bits), None))
 
-        def eval_one(audio):
-            a = ber(bits, (np.asarray(detect_values(params, jnp.asarray(audio))) > 0).astype(int))
-            b = ber(bits, (oracle_detect_values(oracle, np.asarray(audio, np.float32)) > 0).astype(int))
-            return a, b
+        for name, our_audio, their_audio in variants:
+            rows = tables[name]
 
-        a, b = eval_one(ours)
-        c = ber(bits, (np.asarray(detect_values(params, jnp.asarray(theirs))) > 0).astype(int))
-        rows.setdefault("clean", []).append((a, b, c))
+            def abc(att_ours, att_theirs):
+                a = ber(bits, (our_detect(att_ours) > 0).astype(int))
+                b = ber(
+                    bits,
+                    (oracle_detect_values(
+                        oracle, np.asarray(att_ours, np.float32)
+                    ) > 0).astype(int),
+                )
+                c = (
+                    ber(bits, (our_detect(att_theirs) > 0).astype(int))
+                    if att_theirs is not None
+                    else float("nan")
+                )
+                return a, b, c
 
-        for j, atk in enumerate(attacks):
-            key = seed * 9973 + i * 101 + j
-            att_ours = np.asarray(atk.apply(ours, 16000, key=key), np.float32)
-            att_theirs = np.asarray(atk.apply(theirs, 16000, key=key), np.float32)
-            a, b = eval_one(att_ours)
-            c = ber(bits, (np.asarray(detect_values(params, jnp.asarray(att_theirs))) > 0).astype(int))
-            rows.setdefault(atk.name, []).append((a, b, c))
-        print(f"clip {i} done", flush=True)
+            rows.setdefault("clean", []).append(abc(our_audio, their_audio))
+            for j, atk in enumerate(attacks):
+                key = args.seed * 9973 + i * 101 + j
+                att_ours = np.asarray(atk.apply(our_audio, 16000, key=key), np.float32)
+                att_theirs = (
+                    np.asarray(atk.apply(their_audio, 16000, key=key), np.float32)
+                    if their_audio is not None
+                    else None
+                )
+                rows.setdefault(atk.name, []).append(abc(att_ours, att_theirs))
+        print(f"clip {i + 1}/{n_clips} done", flush=True)
 
+    bits_per_row = n_clips * 20
     lines = [
         "# PARITY — cross-oracle BER under the attack suite",
         "",
-        "Generated by tools/parity_eval.py. Columns (mean BER %, "
-        f"{n_clips} clips):",
+        f"Generated by tools/parity_eval.py ({n_clips} clips across 6",
+        f"generator families = {bits_per_row} bits per attack row; our",
+        f"embeds/detects on {args.device}, torch oracle on CPU).",
         "",
         "- **A**: aware_tpu embed → aware_tpu detect",
         "- **B**: aware_tpu embed → torch-oracle detect "
         "(detector-parity surface)",
         "- **C**: torch-oracle embed → aware_tpu detect "
         "(solver-parity surface)",
-        "",
-        "| Attack | A | B | C | |A−B| | |A−C| |",
-        "|---|---|---|---|---|---|",
     ]
-    worst_ab = worst_ac = 0.0
-    for name, vals in rows.items():
-        a = float(np.mean([v[0] for v in vals]))
-        b = float(np.mean([v[1] for v in vals]))
-        c = float(np.mean([v[2] for v in vals]))
-        worst_ab = max(worst_ab, abs(a - b))
-        worst_ac = max(worst_ac, abs(a - c))
-        lines.append(
-            f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {abs(a-b):.2f} | {abs(a-c):.2f} |"
-        )
+    summary = {}
+    for variant, rows in tables.items():
+        if not rows:
+            continue
+        lines += [
+            "",
+            f"## {variant} card" + (" (A/B only)" if variant == "amortized" else ""),
+            "",
+            "| Attack | A | B | C | |A−B| | |A−C| |",
+            "|---|---|---|---|---|---|",
+        ]
+        worst_ab = worst_ac = 0.0
+        worst_ab_nd = 0.0  # non-desync
+        for name, vals in rows.items():
+            a = float(np.mean([v[0] for v in vals]))
+            b = float(np.mean([v[1] for v in vals]))
+            c = float(np.mean([v[2] for v in vals]))
+            d_ab, d_ac = abs(a - b), abs(a - c)
+            worst_ab = max(worst_ab, d_ab)
+            desync = name.startswith(("ts_", "ps_"))
+            if not desync:
+                worst_ab_nd = max(worst_ab_nd, d_ab)
+            if not np.isnan(c) and not desync:
+                worst_ac = max(worst_ac, d_ac)
+            c_str = "—" if np.isnan(c) else f"{c:.2f}"
+            d_ac_str = "—" if np.isnan(c) else f"{d_ac:.2f}"
+            lines.append(
+                f"| {name} | {a:.2f} | {b:.2f} | {c_str} | {d_ab:.2f} | {d_ac_str} |"
+            )
+        summary[variant] = (worst_ab, worst_ab_nd, worst_ac)
+        lines += [
+            "",
+            f"Worst detector-parity delta |A−B|: **{worst_ab:.3f}%** "
+            f"(non-desync: **{worst_ab_nd:.3f}%**)",
+            f"Worst non-desync solver-parity delta |A−C|: **{worst_ac:.3f}%**",
+        ]
     lines += [
-        "",
-        f"Worst detector-parity delta |A−B|: **{worst_ab:.3f}%**",
-        f"Worst solver-parity delta |A−C|: **{worst_ac:.3f}%**",
         "",
         "Notes: attacks are applied once per clip with a shared key, so A/B",
         "share identical attacked audio (pure detector comparison); C embeds",
         "with the torch reference loop, so desync attacks (time-stretch /",
-        "pitch-shift) may differ by a few bits through trajectory-level fp",
-        "divergence of the chaotic adversarial optimization — the clean and",
-        "non-desync rows are the parity gate surface.",
+        "pitch-shift) may differ through trajectory-level fp divergence of",
+        "the chaotic adversarial optimization — the clean and non-desync",
+        "rows are the parity gate surface.  The amortized card has no",
+        "reference counterpart (the reference never trains anything), so",
+        "only detector parity (|A−B|) applies there.",
     ]
     out = pathlib.Path(__file__).parent.parent / "PARITY.md"
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
-    print("\n".join(lines[-12:]))
+    for v, (ab, ab_nd, ac) in summary.items():
+        print(f"{v}: worst |A-B| {ab:.3f}% (non-desync {ab_nd:.3f}%), "
+              f"worst non-desync |A-C| {ac:.3f}%")
 
 
 if __name__ == "__main__":
