@@ -58,7 +58,31 @@ def cmd_detect(args) -> None:
 
     _, detector = _load(args.card)
     audio, sr = read_wav(args.input)
-    if args.robust:
+    if args.streaming:
+        import json
+
+        from aware_tpu.service.streaming import StreamingDetector
+
+        sd = StreamingDetector(
+            detector,
+            window_seconds=args.window,
+            hop_seconds=args.win_hop,
+        )
+        res = sd.detect(audio, sr)
+        print(json.dumps({
+            "detected": res.detected,
+            "threshold": res.threshold,
+            "segments": [
+                {
+                    "start_s": s.start_seconds,
+                    "end_s": s.end_seconds,
+                    "confidence": s.confidence,
+                    "bits": "".join(map(str, np.asarray(s.bits).astype(int))),
+                }
+                for s in res.segments
+            ],
+        }, indent=2))
+    elif args.robust:
         bits, rate, conf = detect_watermark_robust(
             audio, sr, detector, return_confidence=True
         )
@@ -91,6 +115,13 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("detect", help="detect a watermark in a WAV file")
     p.add_argument("input")
+    p.add_argument("--streaming", action="store_true",
+                   help="sliding-window localization over a long file "
+                        "(prints JSON segments)")
+    p.add_argument("--window", type=float, default=2.0,
+                   help="streaming window seconds")
+    p.add_argument("--win-hop", type=float, default=1.0,
+                   help="streaming window hop seconds")
     p.add_argument("--robust", action="store_true",
                    help="speed-change-robust rate search")
     p.add_argument("--card", default=None)

@@ -10,6 +10,11 @@ from aware_tpu.service.api import (
 from aware_tpu.service.codec import encode_pattern, decode_pattern
 from aware_tpu.service.robust import detect_watermark_robust
 from aware_tpu.service.fast import embed_watermark_oneshot, embed_watermark_turbo
+from aware_tpu.service.streaming import (
+    StreamingDetector,
+    StreamingResult,
+    detect_watermark_streaming,
+)
 
 __all__ = [
     "detect_watermark_robust",
@@ -24,4 +29,7 @@ __all__ = [
     "detect_watermark_batch",
     "encode_pattern",
     "decode_pattern",
+    "StreamingDetector",
+    "StreamingResult",
+    "detect_watermark_streaming",
 ]

@@ -1,0 +1,81 @@
+"""Streaming service surface: sliding-window localization + mesh-global
+detection + CLI (service/streaming.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aware_tpu import load
+from aware_tpu.eval.harness import synthesize_speech_clip
+from aware_tpu.models.detector import detect_values
+from aware_tpu.service.streaming import StreamingDetector
+
+BITS = np.array([1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 0, 1])
+
+
+@pytest.fixture(scope="module")
+def marked_long_clip():
+    """20 s carrier with a 2 s watermarked span starting at t=9 s."""
+    embedder, detector = load(num_iterations=120)
+    carrier = np.concatenate(
+        [synthesize_speech_clip(50 + i) for i in range(10)]
+    )  # 10 x 2 s unwatermarked speech
+    seg = synthesize_speech_clip(99)
+    wm = embedder.embed(seg, 16000, (2 * BITS - 1).astype(np.float32))
+    start = 9 * 16000
+    long_clip = carrier.copy()
+    # match the marked span's level to its surroundings
+    wm = wm * (np.max(np.abs(carrier[start : start + len(wm)])) + 1e-9)
+    long_clip[start : start + len(wm)] = wm
+    return long_clip, detector, start / 16000.0, len(wm) / 16000.0
+
+
+def test_localizes_watermarked_span(marked_long_clip):
+    long_clip, detector, t0, dur = marked_long_clip
+    sd = StreamingDetector(detector, window_seconds=2.0, hop_seconds=0.5)
+    res = sd.detect(long_clip, 16000)
+    assert res.detected, f"no segment found (thr {res.threshold:.3f})"
+    best = max(res.segments, key=lambda s: s.confidence)
+    # the reported segment overlaps the true span
+    assert best.start_seconds < t0 + dur and best.end_seconds > t0
+    # the peak-confidence window decodes the embedded bits
+    assert np.array_equal(np.asarray(best.bits).astype(int), BITS)
+
+
+def test_null_clip_not_detected(marked_long_clip):
+    _, detector, _, _ = marked_long_clip
+    sd = StreamingDetector(detector, window_seconds=2.0, hop_seconds=1.0)
+    null = np.concatenate([synthesize_speech_clip(200 + i) for i in range(5)])
+    res = sd.detect(null, 16000)
+    assert not res.detected
+
+
+def test_mesh_global_matches_single_device(marked_long_clip):
+    _, detector, _, _ = marked_long_clip
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("seq",))
+    sd = StreamingDetector(detector, mesh=mesh, threshold=0.1)
+    # a fully-watermarked long stream: global detect reads the bits
+    embedder, _ = load(num_iterations=120)
+    clip = synthesize_speech_clip(7, seconds=4.0)
+    wm = embedder.embed(clip, 16000, (2 * BITS - 1).astype(np.float32))
+    bits = sd.detect_global(wm, 16000)
+    single = np.asarray(detect_values(detector.params, jnp.asarray(wm)))
+    assert np.array_equal(
+        np.asarray(bits).astype(int), (single > 0).astype(int)
+    )
+    assert np.array_equal(np.asarray(bits).astype(int), BITS)
+
+
+def test_cli_streaming(tmp_path, marked_long_clip):
+    long_clip, _, _, _ = marked_long_clip
+    from aware_tpu.__main__ import main
+    from aware_tpu.utils.io import write_wav
+
+    p = tmp_path / "long.wav"
+    write_wav(str(p), long_clip.astype(np.float32), 16000)
+    main(["detect", str(p), "--streaming", "--win-hop", "0.5"])
