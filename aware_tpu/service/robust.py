@@ -119,6 +119,7 @@ def detect_watermark_robust(
     detector: AWAREDetector,
     rates: tuple[float, ...] = DEFAULT_RATES,
     return_confidence: bool = False,
+    refine: bool = True,
 ):
     """Detect under unknown time-scaling; returns decoded bits (and the
     winning (rate, confidence) when requested).
@@ -127,6 +128,12 @@ def detect_watermark_robust(
     (length × r brings it back to the original time base).  The winner is
     the most confident readout — the tanh head saturates toward ±1 when
     the time base matches.
+
+    Two-stage search: the coarse grid's 2-3% spacing can leave ~1% residual
+    desync (≈1 frame of drift per second), costing a bit or two; with
+    ``refine`` a second fused dispatch scans ±1.5% around the coarse winner
+    in 0.5% steps and keeps the best of both stages.  Fine grids are
+    jit-cached per coarse winner, so steady-state streams pay one compile.
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -136,12 +143,27 @@ def detect_watermark_robust(
             f"Robust detector operates at "
             f"{detector.cfg.detection_net.sample_rate} Hz"
         )
-    values = robust_values(detector, audio, tuple(rates))
+    rates = tuple(rates)
+    values = robust_values(detector, audio, rates)
     conf = np.mean(np.abs(values), axis=1)
     best = int(np.argmax(conf))
+    best_rate, best_conf, best_values = rates[best], conf[best], values[best]
+
+    if refine and best_rate != 1.0:
+        fine = tuple(
+            round(best_rate * f, 4)
+            for f in (0.985, 0.99, 0.995, 1.005, 1.01, 1.015)
+        )
+        fvalues = robust_values(detector, audio, fine)
+        fconf = np.mean(np.abs(fvalues), axis=1)
+        fbest = int(np.argmax(fconf))
+        if fconf[fbest] > best_conf:
+            best_rate, best_conf = fine[fbest], fconf[fbest]
+            best_values = fvalues[fbest]
+
     bits = decode_pattern(
-        values[best], detector.pattern_mode, detector.threshold
+        best_values, detector.pattern_mode, detector.threshold
     )
     if return_confidence:
-        return bits, float(rates[best]), float(conf[best])
+        return bits, float(best_rate), float(best_conf)
     return bits
