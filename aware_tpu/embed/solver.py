@@ -45,7 +45,12 @@ from aware_tpu.config import AwareConfig, in_band_bins
 from aware_tpu.embed.losses import get_loss_fn
 from aware_tpu.embed.optim import get_optimizer
 from aware_tpu.embed.schedulers import get_scheduler
-from aware_tpu.models.detector import DetectorParams, _precision, detector_apply
+from aware_tpu.models.detector import (
+    DetectorParams,
+    _precision,
+    detector_apply,
+    detector_apply_banded,
+)
 from aware_tpu.ops.stft import (
     irfft_basis,
     istft,
@@ -164,7 +169,6 @@ def build_problem(
         sin_in = sin_ph[lo:hi]
         # stack Re/Im bases so each DFT direction is ONE MXU matmul
         AB_in = jnp.concatenate([Aw[lo:hi], Bw[lo:hi]], axis=0)  # (2nb, n_fft)
-        t_frames = mag.shape[-1]
 
         window_key = tuple(window.tolist()) if cfg.use_pallas_ola else None
 
@@ -185,15 +189,12 @@ def build_problem(
             cs2 = jnp.matmul(fr2, CS_in, precision=prec)  # (T, 2nb)
             re2, im2 = cs2[:, : hi - lo], cs2[:, hi - lo :]
             m2_in = jnp.sqrt(re2 * re2 + im2 * im2).T  # (n_band, T)
-            m2 = jnp.concatenate(
-                [
-                    jnp.zeros((lo, t_frames), m2_in.dtype),
-                    m2_in,
-                    jnp.zeros((mag.shape[0] - hi, t_frames), m2_in.dtype),
-                ],
-                axis=0,
+            # banded detector entry: identical to band-zeroing the full
+            # magnitude (out-of-band rows contribute nothing to mel), but
+            # skips the (F-nb, T) zero materialization each iteration
+            pred = detector_apply_banded(
+                params, m2_in, lo, hi, net_cfg, cfg.matmul_precision
             )
-            pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
             return loss_fn(pred, wm)
 
     else:

@@ -222,6 +222,46 @@ def detector_apply(
     return _final_activation(cfg.final_activation)(out)
 
 
+def detector_apply_banded(
+    params: DetectorParams,
+    band_mag: jnp.ndarray,
+    lo: int,
+    hi: int,
+    cfg: DetectorNetConfig = DetectorNetConfig(),
+    matmul_precision: str = "highest",
+) -> jnp.ndarray:
+    """Forward taking only the in-band magnitude rows (hi-lo, T).
+
+    Mathematically identical to ``detector_apply`` on the band-zeroed full
+    magnitude — out-of-band rows contribute nothing to the mel projection —
+    but skips materializing (F-hi+lo, T) zeros and shrinks the mel matmul
+    to the 225 in-band rows.  This is the solver's per-iteration entry
+    (the embed objective zeroes out-of-band bins anyway,
+    reference: multibit_embedder.py:104)."""
+    prec = _precision(matmul_precision)
+    basis = jnp.asarray(
+        mel_filter_bank(cfg.sample_rate, cfg.n_fft, cfg.n_mels),
+        dtype=band_mag.dtype,
+    )[:, lo:hi]
+    x = jnp.matmul(basis, band_mag, precision=prec)
+    x = instance_norm(x)
+    x = global_standardize(x)
+    x = avg_pool_1d(x, cfg.initial_pool_size, cfg.initial_pool_stride)
+    act = _block_activation(cfg.activation)
+    for i in range(cfg.num_blocks + 1):
+        w = params[f"conv{i}_w"]
+        b = params[f"conv{i}_b"]
+        x = jnp.matmul(w, x, precision=prec) + b[:, None]
+        if cfg.norm_layer == "instance":
+            x = instance_norm(x)
+        elif cfg.norm_layer != "none":
+            raise ValueError(f"Invalid norm layer: {cfg.norm_layer}")
+        x = act(x)
+    pooled = jnp.mean(x, axis=-1)
+    out = pooled[0::2] - pooled[1::2]
+    return _final_activation(cfg.final_activation)(out)
+
+
 def detector_apply_masked(
     params: DetectorParams,
     mag: jnp.ndarray,
