@@ -59,6 +59,7 @@ from aware_tpu.ops.stft import (
     peak_normalize,
     polar,
     rfft_basis,
+    safe_magnitude,
     stft,
     stft_frames,
 )
@@ -188,7 +189,9 @@ def build_problem(
             fr2 = stft_frames(y2, n_fft, hop, window)
             cs2 = jnp.matmul(fr2, CS_in, precision=prec)  # (T, 2nb)
             re2, im2 = cs2[:, : hi - lo], cs2[:, hi - lo :]
-            m2_in = jnp.sqrt(re2 * re2 + im2 * im2).T  # (n_band, T)
+            # gradient-safe at exactly-zero bins (silence frames round-trip
+            # to 0+0j; naive sqrt gives NaN grads that poison the scan)
+            m2_in = safe_magnitude(re2, im2).T  # (n_band, T)
             # banded detector entry: identical to band-zeroing the full
             # magnitude (out-of-band rows contribute nothing to mel), but
             # skips the (F-nb, T) zero materialization each iteration

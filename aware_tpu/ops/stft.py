@@ -230,9 +230,28 @@ def peak_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return x / (jnp.max(jnp.abs(x)) + 1e-8)
 
 
+def safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(re² + im²) with torch's gradient convention at exactly-zero
+    bins: value 0, gradient 0.
+
+    jnp.abs/sqrt give NaN gradients at 0 (0/0); torch defines sgn(0)=0.
+    Exactly-zero spectral bins occur on real inputs — silence regions of
+    pause-bearing speech round-trip to bit-zero frames — and one NaN
+    gradient poisons the whole embed trajectory (found via the 24-clip
+    parity sweep: every hard-pause clip failed at chance while the torch
+    oracle succeeded).  Values are bit-identical to the naive form.
+    """
+    sq = re * re + im * im
+    zero = sq == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
 def magphase(spec: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Complex STFT -> (magnitude, phase) (reference: stft.py:50-55)."""
-    return jnp.abs(spec), jnp.angle(spec)
+    """Complex STFT -> (magnitude, phase) (reference: stft.py:50-55).
+
+    The magnitude uses :func:`safe_magnitude` (torch-convention zero
+    gradient at zero bins; values unchanged)."""
+    return safe_magnitude(spec.real, spec.imag), jnp.angle(spec)
 
 
 def polar(magnitude: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:

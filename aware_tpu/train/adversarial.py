@@ -263,15 +263,26 @@ class TrainState(NamedTuple):
 
 
 def _optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    # global-norm clipping + skip-nonfinite-updates: the adversarial loss
+    # through the vocoder/attack switch occasionally produces a blown-up
+    # or NaN gradient; unguarded, one such step poisons every parameter
+    # (observed once near the end of a 6000-step desync run).
+    def _adamw(lr: float, wd: float) -> optax.GradientTransformation:
+        return optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(lr, weight_decay=wd)
+        )
+
     if tcfg.train_detector and tcfg.detector_lr is not None:
-        return optax.multi_transform(
+        tx = optax.multi_transform(
             {
-                "e": optax.adamw(tcfg.learning_rate, weight_decay=1e-5),
-                "d": optax.adamw(tcfg.detector_lr, weight_decay=0.0),
+                "e": _adamw(tcfg.learning_rate, 1e-5),
+                "d": _adamw(tcfg.detector_lr, 0.0),
             },
             ("e", "d"),
         )
-    return optax.adamw(tcfg.learning_rate, weight_decay=1e-5)
+    else:
+        tx = _adamw(tcfg.learning_rate, 1e-5)
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
 
 
 def init_train_state(
