@@ -238,6 +238,8 @@ class TrainConfig:
     # include phase-vocoder time-stretch branches in the attack mix
     # (re-keying for desync robustness; see tools/train_desync.py)
     desync_attacks: bool = False
+    # stretch-rate curriculum; repeat a rate to weight it more heavily
+    stretch_rates: tuple = DESYNC_STRETCH_RATES
     # compute the detection loss on BOTH the clean and the attacked view of
     # the watermarked clip.  Essential for joint (train_detector=True)
     # training: with only hard attacked views the detector collapses to the
@@ -301,7 +303,8 @@ def init_train_state(
 
 
 def _clip_loss(
-    cfg, e_params, d_params, audio, pattern, key, desync=False, dual_view=False
+    cfg, e_params, d_params, audio, pattern, key, desync=False,
+    dual_view=False, stretch_rates=DESYNC_STRETCH_RATES,
 ):
     """One clip's adversarial loss (vmapped over the batch)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
@@ -315,7 +318,9 @@ def _clip_loss(
     wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
     wm_audio = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
 
-    attacks, _ = make_attack_list(wm_audio.shape[-1], desync=desync)
+    attacks, _ = make_attack_list(
+        wm_audio.shape[-1], desync=desync, stretch_rates=stretch_rates
+    )
     attacked = apply_random_attack(wm_audio, key, attacks)
 
     def _detect(x):
@@ -359,6 +364,7 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
             lambda a, p, k: _clip_loss(
                 cfg, e_params, d_params, a, p, k,
                 desync=tcfg.desync_attacks, dual_view=tcfg.dual_view,
+                stretch_rates=tcfg.stretch_rates,
             )
         )(audios, patterns, keys)
         loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)
