@@ -26,10 +26,14 @@ def _parse_bits(s: str, n: int) -> np.ndarray:
 def _load(card: str | None):
     from aware_tpu import load
 
-    if card == "turbo":
+    if card and not card.endswith((".yaml", ".yml")):
         import pathlib
 
-        card = str(pathlib.Path(__file__).parent / "cards" / "turbo.yaml")
+        named = pathlib.Path(__file__).parent / "cards" / f"{card}.yaml"
+        if not named.exists():
+            names = sorted(p.stem for p in named.parent.glob("*.yaml"))
+            raise SystemExit(f"unknown card {card!r}; available: {names}")
+        card = str(named)
     return load(card=card)
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aware_tpu.ops.resample import resample_poly
-from aware_tpu.ops.stft import istft, magphase, polar, stft
+from aware_tpu.ops.stft import istft, polar, safe_angle, safe_magnitude, stft
 from aware_tpu.ops.windows import get_window
 
 _N_FFT = 2048
@@ -31,7 +31,10 @@ def time_stretch(x: jnp.ndarray, rate: float) -> jnp.ndarray:
         return x
     w = get_window("hann", _N_FFT)
     z = stft(x, _N_FFT, _HOP, w)  # (F, T)
-    mag, phase = magphase(z)
+    # gradient-safe decomposition: the robust solver's EOT views
+    # differentiate through this phase (values match magphase exactly)
+    mag = safe_magnitude(z.real, z.imag)
+    phase = safe_angle(z.real, z.imag)
     t_in = z.shape[-1]
 
     # fractional analysis positions

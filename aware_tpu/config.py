@@ -112,11 +112,19 @@ class AwareConfig:
     # Fuse the OLA/crop/envelope/double-peak-norm chain into one Pallas
     # kernel (custom VJP); requires use_matmul_dft.
     use_pallas_ola: bool = False
+    # EOT (expectation-over-transforms) robust embedding: when non-empty,
+    # the solver objective adds differentiable vocoder time-stretch views
+    # of the candidate waveform at these rates, so the optimized mark
+    # survives desync edits by construction (new capability — the
+    # reference solver sees only the clean view).
+    eot_stretch_rates: Any = ()
+    eot_weight: float = 1.0
 
     def __post_init__(self) -> None:
         if self.window not in ("hann", "hamming"):
             raise ValueError(f"Invalid window type: {self.window}")
-        for field in ("optimizer_params", "scheduler_params", "embedding_bands"):
+        for field in ("optimizer_params", "scheduler_params",
+                      "embedding_bands", "eot_stretch_rates"):
             value = getattr(self, field)
             if isinstance(value, Mapping):
                 value = tuple(sorted(value.items()))
@@ -146,12 +154,14 @@ class AwareConfig:
             "pattern_mode", "watermark_length", "tolerance_db",
             "num_iterations", "loss", "verbose", "threshold",
             "matmul_precision", "dtype", "scan_unroll",
-            "use_matmul_dft", "use_pallas_ola",
+            "use_matmul_dft", "use_pallas_ola", "eot_weight",
         }
         for key in simple & set(card):
             kwargs[key] = card[key]
         if "embedding_bands" in card:
             kwargs["embedding_bands"] = tuple(card["embedding_bands"])
+        if "eot_stretch_rates" in card:
+            kwargs["eot_stretch_rates"] = tuple(card["eot_stretch_rates"])
         if "optimizer_cfg" in card:
             kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
             kwargs["optimizer_params"] = dict(

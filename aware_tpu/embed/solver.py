@@ -140,6 +140,27 @@ def build_problem(
 
     prec = _precision(cfg.matmul_precision)
 
+    # EOT robust views: per-iteration loss terms on vocoder-stretched
+    # candidates, so the optimized coefficients survive desync edits by
+    # construction.  Differentiable end-to-end (the vocoder's magnitude
+    # interpolation AND phase propagation are gradient-safe at zero bins).
+    eot_rates = tuple(cfg.eot_stretch_rates or ())
+    if eot_rates:
+        from aware_tpu.attacks.vocoder import time_stretch
+
+        def eot_loss(y):
+            tot = 0.0
+            for r in eot_rates:
+                yr = time_stretch(y, r)
+                m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))
+                pred = detector_apply_banded(
+                    params, m2[lo:hi], lo, hi, net_cfg, cfg.matmul_precision
+                )
+                tot = tot + loss_fn(pred, wm)
+            return tot / len(eot_rates)
+    else:
+        eot_loss = None
+
     if cfg.use_matmul_dft:
         # Fast path: the framed FFTs of the round trip as banded DFT
         # matmuls on the MXU.  Two structural savings over an FFT:
@@ -198,7 +219,10 @@ def build_problem(
             pred = detector_apply_banded(
                 params, m2_in, lo, hi, net_cfg, cfg.matmul_precision
             )
-            return loss_fn(pred, wm)
+            loss = loss_fn(pred, wm)
+            if eot_loss is not None:
+                loss = loss + cfg.eot_weight * eot_loss(y2)
+            return loss
 
     else:
 
@@ -209,10 +233,14 @@ def build_problem(
             # with a peak-normalize, hence the double normalization).
             z = jax.lax.complex(m * cos_ph, m * sin_ph)
             y = peak_normalize(istft(z, n_fft, hop, window))
-            m2, _ = magphase(stft(peak_normalize(y), n_fft, hop, window))
+            y_norm = peak_normalize(y)
+            m2, _ = magphase(stft(y_norm, n_fft, hop, window))
             m2 = _band_zero(m2, lo, hi)
             pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
-            return loss_fn(pred, wm)
+            loss = loss_fn(pred, wm)
+            if eot_loss is not None:
+                loss = loss + cfg.eot_weight * eot_loss(y_norm)
+            return loss
 
     return EmbedProblem(objective, coeffs0, lower, upper, mag, phase, lo, hi)
 

@@ -78,17 +78,31 @@ def run_robustness_eval(
     attacks: Sequence[Attack] | None = None,
     model: tuple[AWAREEmbedder, AWAREDetector] | None = None,
     sample_rate: int = 16000,
+    robust: bool = False,
 ) -> Mapping[str, float]:
     """Full embed -> attack -> detect sweep; returns mean metrics.
 
     Result keys: ``clean_ber``, ``pesq``, ``stoi``, ``snr`` and one
     ``ber:<attack-name>`` per attack (all means over clips; BERs are
     percentages per the reference metric quirk).
+
+    With ``robust=True`` every detection goes through the rate-search
+    compensation detector (service.robust) instead of the plain single
+    forward — the mode a deployment would use when desync edits are in
+    the threat model.
     """
     embedder, detector = model if model else load()
     attacks = list(default_attack_suite()) if attacks is None else list(attacks)
     clips = _load_clips(audio_dir, n_clips, seed, sample_rate)
     rng = np.random.default_rng(seed)
+
+    if robust:
+        from aware_tpu.service.robust import detect_watermark_robust
+
+        def _detect(audio, sr, det):
+            return detect_watermark_robust(audio, sr, det)
+    else:
+        _detect = detect_watermark
 
     rec: dict[str, list[float]] = {
         "clean_ber": [], "pesq": [], "pesq_proxy": [], "stoi": [], "snr": [],
@@ -101,7 +115,7 @@ def run_robustness_eval(
         except ValueError as e:
             logger.warning("skipping clip %d: %s", i, e)
             continue
-        detected = detect_watermark(wm, sample_rate, detector)
+        detected = _detect(wm, sample_rate, detector)
         rec["clean_ber"].append(ber(bits, detected))
         rec["pesq"].append(pesq(wm, audio, sample_rate))
         rec["pesq_proxy"].append(pesq_proxy(wm, audio, sample_rate))
@@ -110,7 +124,7 @@ def run_robustness_eval(
 
         for j, attack in enumerate(attacks):
             attacked = attack.apply(wm, sample_rate, key=seed * 10007 + i * 101 + j)
-            detected = detect_watermark(
+            detected = _detect(
                 np.asarray(attacked, dtype=np.float32), sample_rate, detector
             )
             rec.setdefault(f"ber:{attack.name}", []).append(ber(bits, detected))

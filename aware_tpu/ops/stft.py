@@ -246,6 +246,21 @@ def safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
 
 
+def safe_angle(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """arctan2(im, re) with zero gradient at exactly-zero bins.
+
+    The true derivative of angle scales with 1/|z|^2 and is NaN at the
+    origin; zero bins occur on real silence regions, and any path that
+    differentiates *through* the phase (the EOT stretch views of the
+    robust solver differentiate the vocoder's phase propagation) would be
+    NaN-poisoned.  Values are identical to ``jnp.angle`` (angle(0) = 0).
+    """
+    zero = (re == 0) & (im == 0)
+    re_s = jnp.where(zero, 1.0, re)
+    im_s = jnp.where(zero, 0.0, im)
+    return jnp.where(zero, 0.0, jnp.arctan2(im_s, re_s))
+
+
 def magphase(spec: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Complex STFT -> (magnitude, phase) (reference: stft.py:50-55).
 

@@ -5,24 +5,31 @@ A capability the reference lacks: recovery from playback-rate desync
 mislabeling) and phase-vocoder time-stretch, both of which drive naive
 detection to chance (measured 35-60% BER at ±5-10% speed).
 
-* **Speed change** is exactly invertible by resampling, so the detector
-  scans a grid of candidate compensation rates.
-* **Time-stretch** (duration change at constant pitch) is not exactly
-  invertible — the vocoder smears per-frame magnitudes — but re-stretching
-  by the inverse factor restores the *time base*, which is what the
-  detector needs most: the keyed CNN pools over time, so re-aligning
-  frames recovers most of the pattern.  The same confidence search
-  (largest mean |tanh readout|) picks the winning hypothesis.
+Two hypothesis families, searched jointly by detector confidence:
 
-TPU-first design: the whole grid — 20 polyphase resamples, 20 STFTs, 20
-keyed-CNN forwards — compiles into ONE jitted program per clip length.
-Each candidate rate has a *static* output length at trace time, so each
-lane gets an exact (reflect-padded, full-length) STFT; lanes are then
-zero-padded to a common frame count and run through the masked detector
-forward (`detector_apply_masked`), whose statistics ignore padding.  One
-dispatch replaces the previous 20 sequential detect calls — measured on
-the real chip (2 s clip): 146-200 ms/clip fused vs ~198 ms *per dispatch*
-sequential (≈4-8 s/clip for resample+detect pairs), a 25-50× latency win.
+* **Resample compensation** — speed change is exactly invertible by
+  resampling, so lanes scan a grid of candidate rates.
+* **Vocoder re-stretch compensation** — time-stretch (duration change at
+  constant pitch) is not exactly invertible, but re-stretching with the
+  inverse factor restores the *time base* without touching pitch; the
+  keyed CNN's in-band frequency pattern then lines up again.  (Resample
+  lanes also restore the time base but scale every frequency by the rate,
+  which scrambles the key's frequency structure — measured strictly worse
+  on vocoder-stretched clips.)
+
+The winning hypothesis is the most confident readout (largest mean |tanh
+readout|); a clean clip wins at the identity lane, so enabling the search
+never costs accuracy on undesynced audio.
+
+TPU-first design: the whole grid — every resample/vocoder compensation,
+STFT, and keyed-CNN forward — compiles into ONE jitted program per clip
+length.  Each candidate has a *static* output length at trace time, so
+each lane gets an exact (reflect-padded, full-length) STFT; lanes are
+then zero-padded to a common frame count and run through the masked
+detector forward (`detector_apply_masked`), whose statistics ignore
+padding.  One dispatch replaces per-candidate sequential detect calls —
+measured on the real chip (2 s clip): 146-200 ms/clip fused vs ~198 ms
+*per dispatch* sequential, a 25-50x latency win.
 """
 
 from __future__ import annotations
@@ -49,33 +56,53 @@ DEFAULT_RATES: tuple[float, ...] = (
     1.03, 1.05, 1.08, 1.1, 1.12, 1.15, 1.18, 1.2, 1.22, 1.25,
 )
 
+# Vocoder-compensation lanes: a time-stretch attack at rate r is undone by
+# re-stretching at 1/r, so this grid spans the inverse of the attack range
+# the eval suite exercises (ts_0.8 .. ts_1.2 -> compensation 1.25 .. 0.83).
+DEFAULT_STRETCH_RATES: tuple[float, ...] = (
+    0.8, 0.83, 0.86, 0.9, 0.93, 0.96, 1.04, 1.08, 1.12, 1.16, 1.2, 1.25,
+)
+
+Hypothesis = tuple[str, float]  # ("resample" | "stretch", rate)
+
 
 def _rate_fraction(rate: float) -> fractions.Fraction:
     return fractions.Fraction(rate).limit_denominator(64)
 
 
-@functools.lru_cache(maxsize=8)
-def _grid_fn(rates: tuple[float, ...], cfg):
-    """Build the jitted all-rates detect: waveform (L,) -> (R, bits) values.
+def _compensate(x: jnp.ndarray, kind: str, rate: float) -> jnp.ndarray:
+    """Apply one static-shape compensation lane (trace-time dispatch)."""
+    if rate == 1.0:
+        return x
+    if kind == "resample":
+        frac = _rate_fraction(rate)
+        return resample_poly(x, frac.numerator, frac.denominator)
+    if kind == "stretch":
+        from aware_tpu.attacks.vocoder import time_stretch
 
-    Rates and the derived per-lane lengths are trace-time constants, so
-    every lane's STFT is exact (no dynamic shapes); only the detector
+        # time_stretch(x, s) maps T frames -> ~T/s, so the lane's rate r
+        # (desired length multiplier) is applied as stretch factor 1/r.
+        return time_stretch(x, 1.0 / rate)
+    raise ValueError(f"unknown compensation kind {kind!r}")
+
+
+@functools.lru_cache(maxsize=8)
+def _grid_fn(hypotheses: tuple[Hypothesis, ...], cfg):
+    """Build the jitted all-hypotheses detect: waveform (L,) -> (H, bits).
+
+    Hypotheses and the derived per-lane lengths are trace-time constants,
+    so every lane's STFT is exact (no dynamic shapes); only the detector
     forward needs masking.
     """
     net_cfg = cfg.detection_net
     w = get_window(cfg.window, cfg.win_length or net_cfg.n_fft)
     lo, hi = in_band_bins(net_cfg.sample_rate, net_cfg.n_fft, cfg.embedding_bands)
-    fracs = [_rate_fraction(r) for r in rates]
 
     @jax.jit
     def run(params, x):
         mags, masks = [], []
-        for frac in fracs:
-            comp = (
-                x
-                if frac == 1
-                else resample_poly(x, frac.numerator, frac.denominator)
-            )
+        for kind, rate in hypotheses:
+            comp = _compensate(x, kind, rate)
             mags.append(
                 preprocess_magnitude(
                     comp, net_cfg.n_fft, cfg.hop_length, w, lo, hi
@@ -91,8 +118,8 @@ def _grid_fn(rates: tuple[float, ...], cfg):
             )
             if t < t_max:
                 mags[i] = jnp.pad(m, ((0, 0), (0, t_max - t)))
-        mag_b = jnp.stack(mags)      # (R, F, T_max)
-        mask_b = jnp.stack(masks)    # (R, T_max)
+        mag_b = jnp.stack(mags)      # (H, F, T_max)
+        mask_b = jnp.stack(masks)    # (H, T_max)
         return jax.vmap(
             lambda m, k: detector_apply_masked(
                 params, m, k, net_cfg, cfg.matmul_precision
@@ -106,11 +133,26 @@ def robust_values(
     detector: AWAREDetector,
     audio: np.ndarray,
     rates: tuple[float, ...] = DEFAULT_RATES,
+    stretch_rates: tuple[float, ...] = (),
 ) -> np.ndarray:
-    """(R, bits) raw detector values for every compensation rate, computed
-    in one dispatch."""
-    run = _grid_fn(tuple(rates), detector.cfg)
+    """(H, bits) raw detector values for every compensation hypothesis
+    (resample lanes first, then stretch lanes), computed in one dispatch."""
+    hyps = tuple(("resample", r) for r in rates) + tuple(
+        ("stretch", r) for r in stretch_rates
+    )
+    run = _grid_fn(hyps, detector.cfg)
     return np.asarray(run(detector.params, jnp.asarray(audio, jnp.float32)))
+
+
+def _search(detector, audio, hyps: tuple[Hypothesis, ...]):
+    """One fused dispatch over ``hyps``; returns (kind, rate, conf, values)
+    of the most confident hypothesis."""
+    run = _grid_fn(hyps, detector.cfg)
+    values = np.asarray(run(detector.params, jnp.asarray(audio, jnp.float32)))
+    conf = np.mean(np.abs(values), axis=1)
+    best = int(np.argmax(conf))
+    kind, rate = hyps[best]
+    return kind, rate, float(conf[best]), values[best]
 
 
 def detect_watermark_robust(
@@ -118,22 +160,25 @@ def detect_watermark_robust(
     sample_rate: int,
     detector: AWAREDetector,
     rates: tuple[float, ...] = DEFAULT_RATES,
+    stretch_rates: tuple[float, ...] = DEFAULT_STRETCH_RATES,
     return_confidence: bool = False,
     refine: bool = True,
 ):
     """Detect under unknown time-scaling; returns decoded bits (and the
-    winning (rate, confidence) when requested).
+    winning (rate, confidence) when requested — rate is negative for a
+    vocoder-stretch winner so callers can tell the families apart).
 
-    A clip stretched by rate r is compensated by resampling with factor r
-    (length × r brings it back to the original time base).  The winner is
-    the most confident readout — the tanh head saturates toward ±1 when
-    the time base matches.
+    A speed-changed clip is compensated by resampling; a vocoder-stretched
+    clip by re-stretching (pitch-preserving).  The winner is the most
+    confident readout — the tanh head saturates toward +-1 when the time
+    base (and, for resample lanes, the frequency axis) matches.
 
-    Two-stage search: the coarse grid's 2-3% spacing can leave ~1% residual
-    desync (≈1 frame of drift per second), costing a bit or two; with
-    ``refine`` a second fused dispatch scans ±1.5% around the coarse winner
-    in 0.5% steps and keeps the best of both stages.  Fine grids are
-    jit-cached per coarse winner, so steady-state streams pay one compile.
+    Two-stage search: the coarse grid's 3-4% spacing can leave ~1-2%
+    residual desync (~1 frame of drift per second), costing a bit or two;
+    with ``refine`` a second fused dispatch scans +-1.5% around the coarse
+    winner *within its own family* in 0.5% steps and keeps the best of
+    both stages.  Fine grids are jit-cached per coarse winner, so
+    steady-state streams pay one compile.
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -143,27 +188,24 @@ def detect_watermark_robust(
             f"Robust detector operates at "
             f"{detector.cfg.detection_net.sample_rate} Hz"
         )
-    rates = tuple(rates)
-    values = robust_values(detector, audio, rates)
-    conf = np.mean(np.abs(values), axis=1)
-    best = int(np.argmax(conf))
-    best_rate, best_conf, best_values = rates[best], conf[best], values[best]
+    hyps = tuple(("resample", r) for r in tuple(rates)) + tuple(
+        ("stretch", r) for r in tuple(stretch_rates)
+    )
+    kind, best_rate, best_conf, best_values = _search(detector, audio, hyps)
 
     if refine and best_rate != 1.0:
         fine = tuple(
-            round(best_rate * f, 4)
+            (kind, round(best_rate * f, 4))
             for f in (0.985, 0.99, 0.995, 1.005, 1.01, 1.015)
         )
-        fvalues = robust_values(detector, audio, fine)
-        fconf = np.mean(np.abs(fvalues), axis=1)
-        fbest = int(np.argmax(fconf))
-        if fconf[fbest] > best_conf:
-            best_rate, best_conf = fine[fbest], fconf[fbest]
-            best_values = fvalues[fbest]
+        fkind, frate, fconf, fvalues = _search(detector, audio, fine)
+        if fconf > best_conf:
+            kind, best_rate, best_conf, best_values = fkind, frate, fconf, fvalues
 
     bits = decode_pattern(
         best_values, detector.pattern_mode, detector.threshold
     )
     if return_confidence:
-        return bits, float(best_rate), float(best_conf)
+        signed_rate = -best_rate if kind == "stretch" else best_rate
+        return bits, float(signed_rate), float(best_conf)
     return bits

@@ -35,7 +35,8 @@ def test_recovers_bits_after_speed_change(watermarked, num, den):
     naive_ber = float(np.mean((naive > 0).astype(int) != BITS)) * 100
 
     bits, best_rate, conf = detect_watermark_robust(
-        sped, 16000, detector, rates=GRID, return_confidence=True
+        sped, 16000, detector, rates=GRID, stretch_rates=(),
+        return_confidence=True,
     )
     ber = float(np.mean(bits != BITS)) * 100
     assert ber == 0.0, f"robust BER {ber}% (picked {best_rate})"
@@ -48,7 +49,8 @@ def test_recovers_bits_after_speed_change(watermarked, num, den):
 def test_clean_clip_picks_unity(watermarked):
     wm, detector = watermarked
     bits, best_rate, _ = detect_watermark_robust(
-        wm, 16000, detector, rates=GRID, return_confidence=True
+        wm, 16000, detector, rates=GRID, stretch_rates=(),
+        return_confidence=True,
     )
     assert float(np.mean(bits != BITS)) == 0.0
     assert abs(best_rate - 1.0) < 0.04
@@ -97,3 +99,22 @@ def test_grid_is_one_dispatch(watermarked):
     # unity lane decodes the embedded bits
     i = GRID.index(1.0)
     assert float(np.mean((vals[i] > 0).astype(int) != BITS)) == 0.0
+
+
+def test_stretch_lanes_shape_and_identity(watermarked):
+    """Stretch-compensation lanes stack after resample lanes; the unity
+    resample lane still equals the plain detect values."""
+    from aware_tpu.models.detector import detect_values as dv
+    from aware_tpu.service.robust import robust_values
+
+    wm, detector = watermarked
+    rates = (1.0,)
+    stretch = (0.93, 1.08)
+    vals = robust_values(detector, wm, rates=rates, stretch_rates=stretch)
+    assert vals.shape == (len(rates) + len(stretch), 20)
+    plain = np.asarray(
+        dv(detector.params, jnp.asarray(wm, jnp.float32))
+    )
+    np.testing.assert_allclose(vals[0], plain, atol=2e-5, rtol=1e-4)
+    # stretch lanes are real hypotheses (not copies of the identity lane)
+    assert not np.allclose(vals[1], vals[0])

@@ -57,17 +57,31 @@ def clip_sampler(batch: int, length: int = 32000):
     return sample
 
 
-def eval_state(e_params, d_params, cfg, n_clips=6, seed=900) -> dict:
-    """One-shot and warm-start metrics on held-out clips."""
+ITER_GRID = (5, 10, 25, 50)
+
+
+def eval_state(e_params, d_params, cfg, n_clips=6, seed=900,
+               family="speech") -> dict:
+    """One-shot and iso-iteration warm-vs-cold metrics on held-out clips.
+
+    ``family`` selects the held-out material: "speech" matches the default
+    bundle's training distribution; "diverse" is the mixed 4-family
+    off-distribution set.  The warm/cold grid starts at 5 iterations —
+    by 25 the cold solver already reaches 0% on most material, so low
+    counts are where a warm start can show (or fail to show) value.
+    """
+    from aware_tpu.train.distill import diverse_clip
+
     rng = np.random.default_rng(seed)
     window = get_window(cfg.window, cfg.win_length)
     lo, hi = in_band_bins(cfg.detection_net.sample_rate, cfg.frame_length,
                           cfg.embedding_bands)
     one_shot_bers, snrs = [], []
-    warm: dict[int, list[float]] = {25: [], 50: [], 100: []}
-    cold: dict[int, list[float]] = {25: [], 50: [], 100: []}
+    warm: dict[int, list[float]] = {k: [] for k in ITER_GRID}
+    cold: dict[int, list[float]] = {k: [] for k in ITER_GRID}
     for i in range(n_clips):
-        clip = synthesize_speech_clip(seed + i)
+        clip = (synthesize_speech_clip(seed + i) if family == "speech"
+                else diverse_clip(seed + i))
         bits = rng.integers(0, 2, 20).astype(np.int32)
         wm = (2 * bits - 1).astype(np.float32)
 
@@ -100,6 +114,41 @@ def eval_state(e_params, d_params, cfg, n_clips=6, seed=900) -> dict:
     }
 
 
+def eval_all_bundles(d_params, cfg, n_clips=6) -> dict:
+    """Regenerate the full amortized evidence set: every shipped bundle x
+    {in-distribution, off-distribution} held-out material, plus an explicit
+    warm-start verdict derived from the iso-iteration grid."""
+    results: dict[str, dict] = {}
+    for variant, fname in (("default", "amortized_v1.npz"),
+                           ("diverse", "amortized_v1_diverse.npz")):
+        path = OUT_DIR / fname
+        if not path.exists():
+            continue
+        with np.load(path) as z:
+            e_params = {k: jnp.asarray(z[k]) for k in z.files}
+        results[variant] = {
+            fam: eval_state(e_params, d_params, cfg, n_clips=n_clips,
+                            family=fam)
+            for fam in ("speech", "diverse")
+        }
+    # Warm-start verdict: max BER improvement (pp) of warm over cold at any
+    # iso-iteration point, across bundles and families.
+    gains = []
+    for bundles in results.values():
+        for m in bundles.values():
+            for k in ITER_GRID:
+                gains.append(m[f"cold{k}_ber"] - m[f"warm{k}_ber"])
+    results["warm_start_verdict"] = {
+        "max_gain_pp": float(max(gains)) if gains else 0.0,
+        "note": (
+            "gain = cold BER - warm BER at the same iteration count; "
+            "<=0 everywhere means the turbo card's value is purely the "
+            "reduced iteration count, not the amortized warm start"
+        ),
+    }
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -118,9 +167,11 @@ def main() -> None:
 
     npz_path = OUT_DIR / "amortized_v1.npz"
     if args.eval_only:
-        with np.load(npz_path) as z:
-            e_params = {k: jnp.asarray(z[k]) for k in z.files}
-        print(json.dumps(eval_state(e_params, d_params, cfg), indent=2))
+        metrics = eval_all_bundles(d_params, cfg)
+        print(json.dumps(metrics, indent=2))
+        (pathlib.Path(__file__).parent.parent / "AMORTIZED_EVAL.json").write_text(
+            json.dumps(metrics, indent=2)
+        )
         return
 
     tcfg = TrainConfig(

@@ -54,9 +54,11 @@ def desync_model(cfg: AwareConfig | None = None):
     return AWAREEmbedder(params=params, cfg=cfg), AWAREDetector(params=params, cfg=cfg)
 
 
-def evaluate(n_clips: int = 4, seed: int = 0) -> dict:
+def evaluate(n_clips: int = 4, seed: int = 0, robust: bool = True) -> dict:
     """Solver-embed robustness sweep with the re-keyed bundle vs the
-    frozen-key bundle, same clips/attacks."""
+    frozen-key bundle, same clips/attacks; with ``robust`` also the
+    rate-search detection mode on both keys (the full deployment answer
+    to desync: re-keyed secret + compensation search)."""
     from aware_tpu.service.api import load
 
     results = {}
@@ -66,14 +68,23 @@ def evaluate(n_clips: int = 4, seed: int = 0) -> dict:
     results["frozen_key"] = dict(
         run_robustness_eval(n_clips=n_clips, seed=seed, model=load())
     )
+    if robust:
+        results["desync_key_robust"] = dict(
+            run_robustness_eval(
+                n_clips=n_clips, seed=seed, model=desync_model(), robust=True
+            )
+        )
+        results["frozen_key_robust"] = dict(
+            run_robustness_eval(
+                n_clips=n_clips, seed=seed, model=load(), robust=True
+            )
+        )
     ts_rows = [k for k in results["desync_key"] if k.startswith("ber:ts_")]
     results["summary"] = {
-        "desync_ts_mean": float(
-            np.mean([results["desync_key"][k] for k in ts_rows])
-        ),
-        "frozen_ts_mean": float(
-            np.mean([results["frozen_key"][k] for k in ts_rows])
-        ),
+        f"{variant}_ts_mean": float(
+            np.mean([results[variant][k] for k in ts_rows])
+        )
+        for variant in results
     }
     return results
 
