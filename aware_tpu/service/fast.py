@@ -6,14 +6,23 @@ per-clip optimization):
 * ``embed_watermark_oneshot`` — a single forward pass of a bundled
   adversarially-trained amortized embedder (tools/train_amortized.py).
   Measured at ~1726 clips/s on one v5e chip (vs 27 clips/s for the full
-  solver).  Two bundles (``variant=``): "default" reaches ~1% clean BER
-  (2.5-5% under pcm/mp3/noise attacks) at ~17.5 dB SNR on material
-  matching its training family but degrades off-distribution; "diverse"
-  is more uniform (4-18%) across clip families.  Use when throughput
-  matters more than the last few bits, or as a screening pass.
+  solver).  Two bundles (``variant=``), AMORTIZED_EVAL.json evidence:
+  "default" reaches 0.83% clean BER at ~17.5 dB SNR on material matching
+  its training family but 39% off-distribution; "diverse" trades that
+  specialization for uniformity (7.5% in-family / 15.8% off).  Use when
+  throughput matters more than the last few bits, or as a screening pass.
 * ``embed_watermark_turbo`` — the exact solver warm-started from the
   amortized prediction with a reduced iteration budget.  Same contract and
   output semantics as ``embed_watermark``.
+
+  Honest value statement (AMORTIZED_EVAL.json iso-iteration grid): the
+  warm start adds NO measurable clean-BER benefit over a cold solver at
+  the same iteration count — the cold solver already reads 0% by 5
+  iterations on every tested family; the turbo speedup comes entirely
+  from the reduced iteration count (see cards/turbo.yaml, which therefore
+  cold-starts).  The warm start is kept for its unmeasured-tail value
+  (it starts inside the detector's high-confidence basin) and as the
+  integration point for future amortized bundles.
 """
 
 from __future__ import annotations
