@@ -51,6 +51,9 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 _VARIANTS = {
     "default": _AMORTIZED_PATH,
     "diverse": _KEY_DIR / "amortized_v1_diverse.npz",
+    # phase-conditioned, solver-distilled with a post-roundtrip loss
+    # (tools/distill_amortized.py --phase; DISTILL_EVAL.json evidence)
+    "v2": _KEY_DIR / "amortized_v2.npz",
 }
 
 
@@ -81,7 +84,7 @@ def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray
     )
     band = embedder_apply(
         _load_amortized(variant), mag[lo:hi], jnp.asarray(pattern, jnp.float32),
-        cfg.tolerance_db,
+        cfg.tolerance_db, band_phase=phase[lo:hi],
     )
     return band, mag, phase, lo, hi, window
 

@@ -53,10 +53,16 @@ class AmortizedEmbedderConfig:
     # the solver shapes patterns jointly across frames, so the amortized
     # net needs temporal context too
     temporal_kernel: int = 9
+    # condition on the in-band phase (cos/sin channels).  The solver's
+    # optimized coefficients are functions of the clip's phase (it
+    # differentiates through the ISTFT(mag, phase)->STFT round trip), so a
+    # magnitude-only net cannot represent the solver's mapping — the
+    # round-1 distillation negative result (docs/NEXT_ROUND_NOTES.md).
+    phase_conditioned: bool = False
     seed: int = 77
 
     def feature_dim(self, n_band: int, n_bits: int) -> int:
-        return n_band + n_bits
+        return (3 if self.phase_conditioned else 1) * n_band + n_bits
 
 
 def init_embedder_params(
@@ -101,15 +107,30 @@ def embedder_apply(
     band_mag: jnp.ndarray,
     pattern: jnp.ndarray,
     tolerance_db: float,
+    band_phase: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Single clip: in-band magnitude (n_band, T) + bipolar pattern (n_bits,)
     -> perturbed magnitude inside the solver's box constraint
-    (reference box: multibit_embedder.py:157-160)."""
+    (reference box: multibit_embedder.py:157-160).
+
+    Whether the bundle is phase-conditioned is read off ``w0``'s input
+    width, so old magnitude-only bundles keep working; a phase-conditioned
+    bundle requires ``band_phase`` (n_band, T)."""
     n_band, t = band_mag.shape
     logmag = jnp.log1p(band_mag)
     logmag = (logmag - jnp.mean(logmag)) / (jnp.std(logmag) + 1e-6)
     pat = jnp.broadcast_to(pattern[:, None], (pattern.shape[0], t))
-    x = jnp.concatenate([logmag, pat], axis=0)
+    wants_phase = params["w0"].shape[1] == 3 * n_band + pattern.shape[0]
+    if wants_phase:
+        if band_phase is None:
+            raise ValueError(
+                "phase-conditioned amortized bundle needs band_phase"
+            )
+        x = jnp.concatenate(
+            [logmag, jnp.cos(band_phase), jnp.sin(band_phase), pat], axis=0
+        )
+    else:
+        x = jnp.concatenate([logmag, pat], axis=0)
     n_layers = len([k for k in params if k.startswith("w")])
     for i in range(n_layers):
         x = params[f"w{i}"] @ x + params[f"b{i}"][:, None]
@@ -314,7 +335,9 @@ def _clip_loss(
     )
     mag, phase = magphase(stft(peak_normalize(audio), n_fft, hop, window))
     band = mag[lo:hi]
-    band_new = embedder_apply(e_params, band, pattern, cfg.tolerance_db)
+    band_new = embedder_apply(
+        e_params, band, pattern, cfg.tolerance_db, band_phase=phase[lo:hi]
+    )
     wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
     wm_audio = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
 
@@ -490,7 +513,9 @@ def amortized_embed(
     @jax.jit
     def run(ep, a, p):
         mag, phase = magphase(stft(peak_normalize(a), n_fft, hop, window))
-        band_new = embedder_apply(ep, mag[lo:hi], p, cfg.tolerance_db)
+        band_new = embedder_apply(
+            ep, mag[lo:hi], p, cfg.tolerance_db, band_phase=phase[lo:hi]
+        )
         wmag = jnp.concatenate([mag[:lo], band_new, mag[hi:]], axis=0)
         return peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
 

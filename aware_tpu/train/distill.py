@@ -26,7 +26,7 @@ import optax
 from aware_tpu.config import AwareConfig, in_band_bins
 from aware_tpu.embed.solver import embed_batch
 from aware_tpu.models.detector import DetectorParams, detector_apply
-from aware_tpu.ops.stft import magphase, peak_normalize, stft
+from aware_tpu.ops.stft import istft, magphase, peak_normalize, polar, stft
 from aware_tpu.ops.windows import get_window
 from aware_tpu.train.adversarial import TrainConfig, TrainState, embedder_apply
 
@@ -84,14 +84,16 @@ def generate_targets(
     solver_iterations: int = 400,
 ):
     """Run the solver over a diverse corpus; returns numpy arrays
-    (band_mags (N, nb, T), patterns (N, bits), targets (N, nb, T))."""
+    (clips (N, L), band_mags (N, nb, T), patterns (N, bits),
+    targets (N, nb, T)).  The raw clips are kept so the post-roundtrip
+    distillation loss can rebuild mag/phase inside its own jit."""
     rng = np.random.default_rng(seed)
     scfg = cfg.replace(num_iterations=solver_iterations)
     window = get_window(cfg.window, cfg.win_length)
     lo, hi = in_band_bins(
         cfg.detection_net.sample_rate, cfg.frame_length, cfg.embedding_bands
     )
-    bands, patterns, targets = [], [], []
+    all_clips, bands, patterns, targets = [], [], [], []
     n_bits = cfg.detection_net.output_length
     for start in range(0, n_clips, batch):
         b = min(batch, n_clips - start)
@@ -105,10 +107,12 @@ def generate_targets(
                 stft(peak_normalize(a), cfg.frame_length, cfg.hop_length, window)
             )
         )(jnp.asarray(clips))
+        all_clips.append(clips)
         bands.append(np.asarray(mags[:, lo:hi]))
         patterns.append(pats)
         targets.append(np.asarray(res.coeffs))
     return (
+        np.concatenate(all_clips),
         np.concatenate(bands),
         np.concatenate(patterns),
         np.concatenate(targets),
@@ -117,6 +121,16 @@ def generate_targets(
 
 # ------------------------------------------------------------ distillation ---
 
+def distill_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """The optimizer both distill step builders use.  Callers must init
+    ``opt_state`` with THIS (not ``init_train_state``'s adversarial
+    optimizer — different pytree structure)."""
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(tcfg.learning_rate, weight_decay=1e-5),
+    )
+
+
 def make_distill_step(cfg: AwareConfig, tcfg: TrainConfig, lambda_det: float = 0.1):
     """jit-able ``step(state, band, pattern, target, key) -> (state, metrics)``.
 
@@ -124,7 +138,7 @@ def make_distill_step(cfg: AwareConfig, tcfg: TrainConfig, lambda_det: float = 0
     direct detection term on the (no-roundtrip) banded magnitude — keeps
     bit margins from collapsing where regression alone is indifferent.
     """
-    opt = optax.adamw(tcfg.learning_rate, weight_decay=1e-5)
+    opt = distill_optimizer(tcfg)
     lo, hi = in_band_bins(
         cfg.detection_net.sample_rate, cfg.frame_length, cfg.embedding_bands
     )
@@ -161,6 +175,95 @@ def make_distill_step(cfg: AwareConfig, tcfg: TrainConfig, lambda_det: float = 0
     def step(state: TrainState, band, pattern, target, key=None):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.e_params, state.d_params, band, pattern, target
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.e_params)
+        e_params = optax.apply_updates(state.e_params, updates)
+        return (
+            TrainState(e_params, state.d_params, opt_state, state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+def make_distill_step_visible(
+    cfg: AwareConfig, tcfg: TrainConfig, lambda_det: float = 0.3
+):
+    """jit-able ``step(state, clips, patterns, targets) -> (state, metrics)``
+    — the round-2 distillation objective.
+
+    Fixes both failure modes of the raw-coefficient regression
+    (docs/NEXT_ROUND_NOTES.md negative result):
+
+    * the net sees the **phase** (embedder_apply with ``band_phase``), so
+      the solver's phase-dependent mapping is representable;
+    * the regression target is the **detector-visible** magnitude — both
+      the prediction and the solver target are pushed through the
+      ISTFT(mag, phase) -> STFT round trip before comparison, so the loss
+      lives exactly where detection happens, and components of the raw
+      coefficients that the round trip annihilates (phase-inconsistent
+      residues) stop polluting the objective.
+
+    Loss: box-normalized MSE of the round-tripped band magnitudes + a
+    ``lambda_det``-weighted detection loss on the round-tripped prediction.
+    """
+    opt = distill_optimizer(tcfg)
+    lo, hi = in_band_bins(
+        cfg.detection_net.sample_rate, cfg.frame_length, cfg.embedding_bands
+    )
+    n_fft, hop = cfg.frame_length, cfg.hop_length
+    n_freq = n_fft // 2 + 1
+    from aware_tpu.ops.windows import get_window
+
+    window = get_window(cfg.window, cfg.win_length)
+
+    def loss_fn(e_params, d_params, clips, patterns, targets):
+        def one(clip, p, tg):
+            mag, phase = magphase(
+                stft(peak_normalize(clip), n_fft, hop, window)
+            )
+            band = mag[lo:hi]
+
+            def visible(band_coeffs):
+                wmag = jnp.concatenate(
+                    [mag[:lo], band_coeffs, mag[hi:]], axis=0
+                )
+                y = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
+                m2, _ = magphase(stft(peak_normalize(y), n_fft, hop, window))
+                return m2[lo:hi]
+
+            pred = embedder_apply(
+                e_params, band, p, cfg.tolerance_db, band_phase=phase[lo:hi]
+            )
+            vp = visible(pred)
+            vt = visible(tg)
+            delta = band * (10.0 ** (-cfg.tolerance_db / 20.0)) + 1e-6
+            reg = jnp.mean(((vp - vt) / delta) ** 2)
+            t2 = vp.shape[-1]
+            m2 = jnp.concatenate(
+                [jnp.zeros((lo, t2)), vp, jnp.zeros((n_freq - hi, t2))]
+            )
+            out = detector_apply(
+                d_params, m2, cfg.detection_net, cfg.matmul_precision
+            )
+            det = jnp.mean((out - p) ** 2) - 0.1 * jnp.mean(jnp.abs(out))
+            soft_ber = jnp.mean(jax.nn.sigmoid(-4.0 * out * p))
+            hard_ber = jnp.mean((out * p <= 0).astype(jnp.float32))
+            return reg, det, soft_ber, hard_ber
+
+        reg, det, soft_ber, hard_ber = jax.vmap(one)(clips, patterns, targets)
+        loss = jnp.mean(reg) + lambda_det * jnp.mean(det)
+        return loss, {
+            "loss": loss,
+            "reg": jnp.mean(reg),
+            "det_loss": jnp.mean(det),
+            "soft_ber": jnp.mean(soft_ber),
+            "hard_ber": jnp.mean(hard_ber),
+        }
+
+    def step(state: TrainState, clips, patterns, targets):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.e_params, state.d_params, clips, patterns, targets
         )
         updates, opt_state = opt.update(grads, state.opt_state, state.e_params)
         e_params = optax.apply_updates(state.e_params, updates)

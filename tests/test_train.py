@@ -91,6 +91,79 @@ def test_amortized_embed_contract(cfg, d_params):
     assert float(jnp.mean(jnp.abs(m1[32:257] - m0[32:257, : m1.shape[1]]))) < 0.5
 
 
+def test_phase_conditioned_train_step(cfg, d_params):
+    """Phase-conditioned net trains through the adversarial step, and
+    embedder_apply auto-detects conditioning from the bundle shape."""
+    from aware_tpu.train.adversarial import embedder_apply
+
+    tcfg = TrainConfig(
+        batch_size=2,
+        embedder=AmortizedEmbedderConfig(hidden=(64,), phase_conditioned=True),
+    )
+    state = init_train_state(cfg, tcfg, d_params)
+    nb = 225
+    assert state.e_params["w0"].shape[1] == 3 * nb + 20
+    audios = jnp.asarray(_sampler(2)(0))
+    patterns = jnp.asarray(
+        (np.random.default_rng(0).integers(0, 2, (2, 20)) * 2 - 1), jnp.float32
+    )
+    step = jax.jit(make_train_step(cfg, tcfg))
+    state2, metrics = step(state, audios, patterns, jax.random.PRNGKey(0))
+    assert np.isfinite(metrics["loss"])
+
+    band = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (nb, 30)))
+    phase = jax.random.uniform(jax.random.PRNGKey(2), (nb, 30), minval=-3, maxval=3)
+    pat = jnp.asarray(patterns[0])
+    out = embedder_apply(state.e_params, band, pat, cfg.tolerance_db, band_phase=phase)
+    delta = band * (10.0 ** (-cfg.tolerance_db / 20.0))
+    assert np.all(np.asarray(out) >= 0)
+    assert np.all(np.asarray(jnp.abs(out - band)) <= np.asarray(delta) + 1e-6)
+    # and a phase-conditioned bundle without phase input must raise
+    with pytest.raises(ValueError):
+        embedder_apply(state.e_params, band, pat, cfg.tolerance_db)
+    # the output actually depends on phase (not a dead input)
+    out2 = embedder_apply(
+        state2.e_params, band, pat, cfg.tolerance_db, band_phase=phase
+    )
+    out3 = embedder_apply(
+        state2.e_params, band, pat, cfg.tolerance_db, band_phase=phase + 1.0
+    )
+    assert not np.allclose(np.asarray(out2), np.asarray(out3))
+
+
+def test_distill_step_visible(cfg, d_params):
+    """Post-roundtrip distillation step: runs, finite, updates params."""
+    from aware_tpu.train.distill import (
+        distill_optimizer,
+        make_distill_step_visible,
+    )
+
+    tcfg = TrainConfig(
+        batch_size=2,
+        embedder=AmortizedEmbedderConfig(hidden=(64,), phase_conditioned=True),
+    )
+    state = init_train_state(cfg, tcfg, d_params)
+    state = state._replace(opt_state=distill_optimizer(tcfg).init(state.e_params))
+    step = jax.jit(make_distill_step_visible(cfg, tcfg))
+    clips = jnp.asarray(_sampler(2)(0))
+    patterns = jnp.asarray(
+        (np.random.default_rng(0).integers(0, 2, (2, 20)) * 2 - 1), jnp.float32
+    )
+    # fake solver targets: the clean band magnitudes (regression fixed point)
+    from aware_tpu.config import in_band_bins
+    from aware_tpu.ops.stft import magphase, peak_normalize, stft
+
+    lo, hi = in_band_bins(16000, cfg.frame_length, cfg.embedding_bands)
+    mags, _ = jax.vmap(
+        lambda a: magphase(stft(peak_normalize(a), cfg.frame_length, cfg.hop_length))
+    )(clips)
+    targets = mags[:, lo:hi]
+    w_before = np.asarray(state.e_params["w0"]).copy()
+    state2, metrics = step(state, clips, patterns, targets)
+    assert np.isfinite(metrics["loss"]) and np.isfinite(metrics["reg"])
+    assert not np.array_equal(np.asarray(state2.e_params["w0"]), w_before)
+
+
 def test_checkpoint_roundtrip(cfg, d_params, tmp_path):
     tcfg = TrainConfig(batch_size=2, embedder=AmortizedEmbedderConfig(hidden=(32,)))
     state = init_train_state(cfg, tcfg, d_params)

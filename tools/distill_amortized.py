@@ -32,11 +32,16 @@ from aware_tpu.train import (  # noqa: E402
     amortized_embed,
     init_train_state,
 )
-from aware_tpu.train.adversarial import make_train_step  # noqa: E402
+from aware_tpu.train.adversarial import (  # noqa: E402
+    _optimizer as adversarial_optimizer,
+    make_train_step,
+)
 from aware_tpu.train.distill import (  # noqa: E402
+    distill_optimizer,
     diverse_clip,
     generate_targets,
     make_distill_step,
+    make_distill_step_visible,
 )
 
 OUT = pathlib.Path(__file__).parent.parent / "aware_tpu" / "models" / "_key"
@@ -82,13 +87,18 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--finetune-steps", type=int, default=600)
     ap.add_argument("--hidden", type=int, nargs="+", default=[384, 384])
+    ap.add_argument("--phase", action="store_true",
+                    help="phase-conditioned net + post-roundtrip loss "
+                         "(the round-2 recipe; fixes the ill-posed "
+                         "magnitude-only regression)")
+    ap.add_argument("--out", default="amortized_v2.npz")
     args = ap.parse_args()
 
     cfg = AwareConfig().replace(matmul_precision="default", scan_unroll=2)
     d_params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
 
     print("stage A: generating solver targets...", flush=True)
-    band, pattern, target = generate_targets(
+    clips_np, band, pattern, target = generate_targets(
         d_params, cfg, args.clips, batch=args.batch, seed=3
     )
     print(f"  {band.shape[0]} targets, band {band.shape[1:]}", flush=True)
@@ -96,10 +106,20 @@ def main() -> None:
     tcfg = TrainConfig(
         batch_size=args.batch,
         learning_rate=args.lr,
-        embedder=AmortizedEmbedderConfig(hidden=tuple(args.hidden)),
+        embedder=AmortizedEmbedderConfig(
+            hidden=tuple(args.hidden), phase_conditioned=args.phase
+        ),
     )
     state = init_train_state(cfg, tcfg, d_params)
-    dstep = jax.jit(make_distill_step(cfg, tcfg))
+    # the distill step's optimizer differs from the adversarial one the
+    # train-state was initialized with — re-init to the matching pytree
+    state = state._replace(
+        opt_state=distill_optimizer(tcfg).init(state.e_params)
+    )
+    if args.phase:
+        dstep = jax.jit(make_distill_step_visible(cfg, tcfg))
+    else:
+        dstep = jax.jit(make_distill_step(cfg, tcfg))
 
     print("stage B: distillation...", flush=True)
     n = band.shape[0]
@@ -109,12 +129,20 @@ def main() -> None:
         ep_metrics = []
         for s in range(0, n - args.batch + 1, args.batch):
             idx = order[s : s + args.batch]
-            state, m = dstep(
-                state,
-                jnp.asarray(band[idx]),
-                jnp.asarray(pattern[idx]),
-                jnp.asarray(target[idx]),
-            )
+            if args.phase:
+                state, m = dstep(
+                    state,
+                    jnp.asarray(clips_np[idx]),
+                    jnp.asarray(pattern[idx]),
+                    jnp.asarray(target[idx]),
+                )
+            else:
+                state, m = dstep(
+                    state,
+                    jnp.asarray(band[idx]),
+                    jnp.asarray(pattern[idx]),
+                    jnp.asarray(target[idx]),
+                )
             ep_metrics.append({k: float(v) for k, v in m.items()})
         if epoch % 10 == 0 or epoch == args.epochs - 1:
             avg = {k: float(np.mean([m[k] for m in ep_metrics])) for k in ep_metrics[0]}
@@ -127,12 +155,10 @@ def main() -> None:
         batch_size=16, learning_rate=1e-4,
         lambda_percept=0.2, embedder=tcfg.embedder,
     )
-    # carry distilled params into a fresh fine-tune opt state
-    import optax
+    # carry distilled params into a fresh fine-tune opt state (must match
+    # the adversarial train step's optimizer pytree)
     ft_state = state._replace(
-        opt_state=optax.adamw(ft_cfg.learning_rate, weight_decay=1e-5).init(
-            state.e_params
-        ),
+        opt_state=adversarial_optimizer(ft_cfg).init(state.e_params),
         step=jnp.zeros((), jnp.int32),
     )
     astep = jax.jit(make_train_step(cfg, ft_cfg))
@@ -158,7 +184,7 @@ def main() -> None:
     best = min(results, key=lambda k: results[k]["in_dist_ber"] + results[k]["ood_ber"])
     winner = state if best == "distilled" else ft_state
     np.savez_compressed(
-        OUT / "amortized_v2.npz",
+        OUT / args.out,
         **{k: np.asarray(v) for k, v in winner.e_params.items()},
     )
     results["selected"] = best
