@@ -112,6 +112,14 @@ class AwareConfig:
     # Fuse the OLA/crop/envelope/double-peak-norm chain into one Pallas
     # kernel (custom VJP); requires use_matmul_dft.
     use_pallas_ola: bool = False
+    # Slab decomposition of the round trip (requires use_matmul_dft and
+    # hop | n_fft): both DFT matmuls split into n_fft/hop hop-wide slabs
+    # with shifted row-adds, so no (T, n_fft) frames tensor is ever
+    # materialized — the solver loop's HBM working set drops from the
+    # frame tensors (2.5 MB/clip each, the measured bandwidth bottleneck,
+    # PERF_STAGE_PROBE.json) to (T, hop) slices.  Numerically equivalent
+    # up to fp summation order.
+    use_slab_dft: bool = True
     # EOT (expectation-over-transforms) robust embedding: when non-empty,
     # the solver objective adds differentiable vocoder time-stretch views
     # of the candidate waveform at these rates, so the optimized mark
@@ -154,7 +162,7 @@ class AwareConfig:
             "pattern_mode", "watermark_length", "tolerance_db",
             "num_iterations", "loss", "verbose", "threshold",
             "matmul_precision", "dtype", "scan_unroll",
-            "use_matmul_dft", "use_pallas_ola", "eot_weight",
+            "use_matmul_dft", "use_pallas_ola", "use_slab_dft", "eot_weight",
         }
         for key in simple & set(card):
             kwargs[key] = card[key]

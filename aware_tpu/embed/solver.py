@@ -52,6 +52,7 @@ from aware_tpu.models.detector import (
     detector_apply_banded,
 )
 from aware_tpu.ops.stft import (
+    _ola_envelope,
     irfft_basis,
     istft,
     istft_synthesis,
@@ -193,26 +194,96 @@ def build_problem(
         AB_in = jnp.concatenate([Aw[lo:hi], Bw[lo:hi]], axis=0)  # (2nb, n_fft)
 
         window_key = tuple(window.tolist()) if cfg.use_pallas_ola else None
+        nb = hi - lo
+
+        slab_ok = (
+            cfg.use_slab_dft
+            and not cfg.use_pallas_ola
+            and n_fft % hop == 0
+            and (n_fft // 2) % hop == 0
+        )
+        if slab_ok:
+            # Slab decomposition: with r = n_fft/hop, OLA and framing are
+            # r shifted hop-wide row blocks, so both DFT matmuls split into
+            # r slabs of shape (T, 2nb) @ (2nb, hop) / (T, hop) @ (hop, 2nb)
+            # and the (T, n_fft) frames tensors are never materialized —
+            # that tensor's HBM round trips were the measured bottleneck of
+            # the embed loop (PERF_STAGE_PROBE.json: the round trip is 86%
+            # of iteration time at ~52 TFLOPS while the detector half runs
+            # near peak).  The constant (out-of-band) contribution enters
+            # post-OLA as a precomputed waveform (linearity of OLA + the
+            # envelope division), saving the per-iteration const add.
+            r = n_fft // hop
+            pad_rows = (n_fft // 2) // hop
+            t_frames = mag.shape[-1]
+            env = jnp.asarray(
+                _ola_envelope(
+                    tuple(np.asarray(window).tolist()), n_fft, hop, t_frames
+                ),
+                jnp.float32,
+            ).reshape(t_frames - 1, hop)
+            y_const2d = istft_synthesis(frames_const, n_fft, hop, window).reshape(
+                t_frames - 1, hop
+            )
+            AB_k = [AB_in[:, k * hop : (k + 1) * hop] for k in range(r)]
+            wcol = jnp.asarray(window.astype(np.float32))[:, None]
+            CSw = jnp.asarray(CS_in) * wcol
+            CSw_k = [CSw[k * hop : (k + 1) * hop, :] for k in range(r)]
+            half = n_fft // 2
+
+            def roundtrip(coeffs):
+                reim_t = jnp.concatenate(
+                    [coeffs * cos_in, coeffs * sin_in], axis=0
+                ).T  # (T, 2nb)
+                yd = jnp.zeros((t_frames + r - 1, hop), reim_t.dtype)
+                for k in range(r):
+                    yd = yd.at[k : k + t_frames].add(
+                        jnp.matmul(reim_t, AB_k[k], precision=prec)
+                    )
+                u = yd[pad_rows : pad_rows + t_frames - 1] / env + y_const2d
+                y2 = peak_normalize(peak_normalize(u))
+                yf = y2.reshape(-1)
+                lp = yf[1 : half + 1][::-1]
+                rp = yf[-half - 1 : -1][::-1]
+                yp = jnp.concatenate([lp, yf, rp]).reshape(
+                    t_frames + r - 1, hop
+                )
+                cs2 = sum(
+                    jnp.matmul(yp[k : k + t_frames], CSw_k[k], precision=prec)
+                    for k in range(r)
+                )  # (T, 2nb)
+                m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
+                return m2_in, yf
+
+        else:
+
+            def roundtrip(coeffs):
+                reim = jnp.concatenate(
+                    [coeffs * cos_in, coeffs * sin_in], axis=0
+                )  # (2nb, T)
+                frames = frames_const + jnp.matmul(
+                    reim.T, AB_in, precision=prec
+                )
+                if cfg.use_pallas_ola:
+                    from aware_tpu.ops.pallas import ola_normalize
+
+                    y2 = ola_normalize(frames[None], n_fft, hop, window_key)[0]
+                else:
+                    y2 = peak_normalize(
+                        peak_normalize(
+                            istft_synthesis(frames, n_fft, hop, window)
+                        )
+                    )
+                fr2 = stft_frames(y2, n_fft, hop, window)
+                cs2 = jnp.matmul(fr2, CS_in, precision=prec)  # (T, 2nb)
+                # gradient-safe at exactly-zero bins (silence frames
+                # round-trip to 0+0j; naive sqrt gives NaN grads that
+                # poison the scan)
+                m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
+                return m2_in, y2
 
         def objective(coeffs):
-            reim = jnp.concatenate(
-                [coeffs * cos_in, coeffs * sin_in], axis=0
-            )  # (2nb, T)
-            frames = frames_const + jnp.matmul(reim.T, AB_in, precision=prec)
-            if cfg.use_pallas_ola:
-                from aware_tpu.ops.pallas import ola_normalize
-
-                y2 = ola_normalize(frames[None], n_fft, hop, window_key)[0]
-            else:
-                y2 = peak_normalize(
-                    peak_normalize(istft_synthesis(frames, n_fft, hop, window))
-                )
-            fr2 = stft_frames(y2, n_fft, hop, window)
-            cs2 = jnp.matmul(fr2, CS_in, precision=prec)  # (T, 2nb)
-            re2, im2 = cs2[:, : hi - lo], cs2[:, hi - lo :]
-            # gradient-safe at exactly-zero bins (silence frames round-trip
-            # to 0+0j; naive sqrt gives NaN grads that poison the scan)
-            m2_in = safe_magnitude(re2, im2).T  # (n_band, T)
+            m2_in, y2 = roundtrip(coeffs)
             # banded detector entry: identical to band-zeroing the full
             # magnitude (out-of-band rows contribute nothing to mel), but
             # skips the (F-nb, T) zero materialization each iteration

@@ -72,6 +72,28 @@ def test_embed_batch_matches_single(params, speechlike):
     )
 
 
+def test_slab_objective_matches_frames_path(params, speechlike):
+    """The slab-decomposed round trip (use_slab_dft, no (T, n_fft) frames
+    tensor) is the same objective as the frames formulation to fp
+    tolerance — value and gradient."""
+    import jax
+
+    from aware_tpu.embed.solver import build_problem
+
+    wm = jnp.asarray((2 * BITS - 1).astype(np.float32))
+    clip = jnp.asarray(speechlike)
+    base = AwareConfig().replace(matmul_precision="highest")
+    outs = {}
+    for name, c in (("slab", base), ("frames", base.replace(use_slab_dft=False))):
+        assert (c.use_slab_dft, name) in ((True, "slab"), (False, "frames"))
+        pb = build_problem(params, clip, wm, c)
+        v, g = jax.value_and_grad(pb.objective)(pb.coeffs0)
+        outs[name] = (float(v), np.asarray(g))
+    assert abs(outs["slab"][0] - outs["frames"][0]) < 1e-5
+    scale = np.max(np.abs(outs["frames"][1])) + 1e-30
+    assert np.max(np.abs(outs["slab"][1] - outs["frames"][1])) / scale < 1e-3
+
+
 def test_detect_unwatermarked_is_chance(params, speechlike):
     values = np.asarray(detect_values(params, jnp.asarray(speechlike)))
     detected = (values > 0).astype(np.int64)
