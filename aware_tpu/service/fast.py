@@ -51,9 +51,13 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 _VARIANTS = {
     "default": _AMORTIZED_PATH,
     "diverse": _KEY_DIR / "amortized_v1_diverse.npz",
-    # phase-conditioned, solver-distilled with a post-roundtrip loss
-    # (tools/distill_amortized.py --phase; DISTILL_EVAL.json evidence)
-    "v2": _KEY_DIR / "amortized_v2.npz",
+    # NOTE: there is deliberately no solver-distilled bundle.  Two
+    # attempts (magnitude-only round 1; phase-conditioned with a
+    # detector-visible post-roundtrip loss, round 2) both memorize the
+    # training corpus yet stay at chance on held-out clips
+    # (DISTILL_EVAL.json) — the solver's per-clip optimum appears
+    # chaotic/clip-specific, so one-shot quality comes from adversarial
+    # training only (the v1 bundles above).
 }
 
 

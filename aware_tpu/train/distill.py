@@ -237,8 +237,15 @@ def make_distill_step_visible(
             )
             vp = visible(pred)
             vt = visible(tg)
-            delta = band * (10.0 ** (-cfg.tolerance_db / 20.0)) + 1e-6
-            reg = jnp.mean(((vp - vt) / delta) ** 2)
+            v0 = visible(band)
+            # fraction of the solver-injected *visible* signal the net has
+            # not reproduced (1.0 at init, 0.0 at perfect mimicry).  A
+            # per-bin delta normalization is ill-conditioned here: in quiet
+            # bins the round trip's spectral leakage dwarfs the tolerance
+            # box, so box units amplify detection-irrelevant residue ~8x
+            # over the watermark itself (observed: reg plateaus ~11 with
+            # the detector still at chance).
+            reg = jnp.sum((vp - vt) ** 2) / (jnp.sum((vt - v0) ** 2) + 1e-12)
             t2 = vp.shape[-1]
             m2 = jnp.concatenate(
                 [jnp.zeros((lo, t2)), vp, jnp.zeros((n_freq - hi, t2))]
