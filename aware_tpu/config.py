@@ -112,6 +112,9 @@ class AwareConfig:
     # Fuse the OLA/crop/envelope/double-peak-norm chain into one Pallas
     # kernel (custom VJP); requires use_matmul_dft.
     use_pallas_ola: bool = False
+    # Run the slab round trip as fused Pallas kernels (custom VJP; VMEM-
+    # resident; requires use_slab_dft and the 1024/256 frame geometry).
+    use_pallas_roundtrip: bool = False
     # Slab decomposition of the round trip (requires use_matmul_dft and
     # hop | n_fft): both DFT matmuls split into n_fft/hop hop-wide slabs
     # with shifted row-adds, so no (T, n_fft) frames tensor is ever
@@ -162,7 +165,8 @@ class AwareConfig:
             "pattern_mode", "watermark_length", "tolerance_db",
             "num_iterations", "loss", "verbose", "threshold",
             "matmul_precision", "dtype", "scan_unroll",
-            "use_matmul_dft", "use_pallas_ola", "use_slab_dft", "eot_weight",
+            "use_matmul_dft", "use_pallas_ola", "use_slab_dft",
+            "use_pallas_roundtrip", "eot_weight",
         }
         for key in simple & set(card):
             kwargs[key] = card[key]

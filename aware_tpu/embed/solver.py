@@ -231,36 +231,89 @@ def build_problem(
             CSw_k = [CSw[k * hop : (k + 1) * hop, :] for k in range(r)]
             half = n_fft // 2
 
-            def roundtrip(coeffs):
-                reim_t = jnp.concatenate(
-                    [coeffs * cos_in, coeffs * sin_in], axis=0
-                ).T  # (T, 2nb)
-                yd = jnp.zeros((t_frames + r - 1, hop), reim_t.dtype)
-                for k in range(r):
-                    yd = yd.at[k : k + t_frames].add(
-                        jnp.matmul(reim_t, AB_k[k], precision=prec)
-                    )
-                u = yd[pad_rows : pad_rows + t_frames - 1] / env + y_const2d
-                # double peak-norm with ONE array reduction: the second max
-                # is max|u/(m1+e)| = m1/(m1+e) exactly (positive scaling),
-                # so both scales collapse into one scalar — removes a
-                # serializing full-array pass from every iteration.  Equal
-                # to peak_normalize(peak_normalize(u)) up to 1-ulp scalar
-                # rounding.
-                m1 = jnp.max(jnp.abs(u))
-                y2 = u / ((m1 + 1e-8) * (m1 / (m1 + 1e-8) + 1e-8))
-                yf = y2.reshape(-1)
-                lp = yf[1 : half + 1][::-1]
-                rp = yf[-half - 1 : -1][::-1]
-                yp = jnp.concatenate([lp, yf, rp]).reshape(
-                    t_frames + r - 1, hop
+            pallas_ok = (
+                cfg.use_pallas_roundtrip
+                and half == 2 * hop
+                and hop % 128 == 0
+            )
+            if pallas_ok:
+                from aware_tpu.ops.pallas.roundtrip import (
+                    band_analysis,
+                    edge_corrections,
+                    synth_norm,
                 )
-                cs2 = sum(
-                    jnp.matmul(yp[k : k + t_frames], CSw_k[k], precision=prec)
+
+                # band dim padded to a lane multiple; Re block at [0, P),
+                # Im block at [P, 2P) in both bases and cs2 columns
+                P = -(-nb // 128) * 128
+                csin = jnp.zeros((t_frames, 2 * P), jnp.float32)
+                csin = csin.at[:, :nb].set(cos_in.T).at[:, P : P + nb].set(
+                    sin_in.T
+                )
+                # built from the HOST-side basis arrays (A/Bm/C/S/wvec are
+                # numpy): build_problem traces under jit, so jnp constants
+                # cannot round-trip through np.asarray here
+                ab_np = np.zeros((2 * P, n_fft), np.float32)
+                ab_np[:nb] = (A * wvec[None, :])[lo:hi]
+                ab_np[P : P + nb] = (Bm * wvec[None, :])[lo:hi]
+                ab = jnp.asarray(ab_np, jnp.bfloat16)
+                abt = jnp.asarray(ab_np.T.copy(), jnp.bfloat16)
+                csw_np = np.zeros((n_fft, 2 * P), np.float32)
+                csw_np[:, :nb] = C[:, lo:hi] * wvec[:, None]
+                csw_np[:, P : P + nb] = S[:, lo:hi] * wvec[:, None]
+                csw = jnp.asarray(csw_np, jnp.bfloat16)
+                cswt = jnp.asarray(csw_np.T.copy(), jnp.bfloat16)
+                csw_k_f32 = [
+                    jnp.asarray(csw_np[k * hop : (k + 1) * hop])
                     for k in range(r)
-                )  # (T, 2nb)
-                m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
-                return m2_in, yf
+                ]
+
+                def roundtrip(coeffs):
+                    ct = jnp.zeros((t_frames, P), coeffs.dtype)
+                    ct = ct.at[:, :nb].set(coeffs.T)
+                    y2r = synth_norm(ct, csin, y_const2d, env, ab, abt)
+                    cs2 = band_analysis(y2r, csw, cswt)
+                    yf = y2r.reshape(-1)
+                    cs2 = cs2 + edge_corrections(
+                        yf, csw_k_f32, n_fft, hop, t_frames
+                    )
+                    m2_in = safe_magnitude(
+                        cs2[:, :nb], cs2[:, P : P + nb]
+                    ).T
+                    return m2_in, yf
+
+            if not pallas_ok:
+
+                def roundtrip(coeffs):  # XLA slab formulation
+                    reim_t = jnp.concatenate(
+                        [coeffs * cos_in, coeffs * sin_in], axis=0
+                    ).T  # (T, 2nb)
+                    yd = jnp.zeros((t_frames + r - 1, hop), reim_t.dtype)
+                    for k in range(r):
+                        yd = yd.at[k : k + t_frames].add(
+                            jnp.matmul(reim_t, AB_k[k], precision=prec)
+                        )
+                    u = yd[pad_rows : pad_rows + t_frames - 1] / env + y_const2d
+                    # double peak-norm with ONE array reduction: the second max
+                    # is max|u/(m1+e)| = m1/(m1+e) exactly (positive scaling),
+                    # so both scales collapse into one scalar — removes a
+                    # serializing full-array pass from every iteration.  Equal
+                    # to peak_normalize(peak_normalize(u)) up to 1-ulp scalar
+                    # rounding.
+                    m1 = jnp.max(jnp.abs(u))
+                    y2 = u / ((m1 + 1e-8) * (m1 / (m1 + 1e-8) + 1e-8))
+                    yf = y2.reshape(-1)
+                    lp = yf[1 : half + 1][::-1]
+                    rp = yf[-half - 1 : -1][::-1]
+                    yp = jnp.concatenate([lp, yf, rp]).reshape(
+                        t_frames + r - 1, hop
+                    )
+                    cs2 = sum(
+                        jnp.matmul(yp[k : k + t_frames], CSw_k[k], precision=prec)
+                        for k in range(r)
+                    )  # (T, 2nb)
+                    m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
+                    return m2_in, yf
 
         else:
 

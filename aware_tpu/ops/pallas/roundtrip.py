@@ -1,0 +1,310 @@
+"""Fused Pallas kernels for the slab-decomposed embed round trip.
+
+The solver's per-iteration ISTFT -> peak-norm -> STFT round trip
+(reference dataflow: multibit_embedder.py:49-67,103) in two VMEM-resident
+kernels per direction, with custom VJPs (two more kernels):
+
+* ``synth_norm``  — in-band coefficients -> slab DFT matmuls -> shifted
+  row-add OLA -> crop -> envelope -> fused double peak-norm -> y2.
+* ``band_analysis`` — y2 -> zero-padded re-framing -> slab DFT matmuls
+  -> in-band Re/Im columns (cs2).  The reflect-pad boundary (first/last
+  2 rows of the padded signal, i.e. 4 affected output frames) is NOT in
+  the kernel: the caller adds those six rank-1 corrections in XLA (see
+  ``edge_corrections``), keeping the kernel free of lane-reversal ops.
+
+Everything a kernel touches fits one core's VMEM (~7 MB synthesis,
+~4 MB analysis, of ~16 MB), so per-iteration HBM traffic collapses to
+the kernel operands.  Matmuls run as bf16 inputs with f32 accumulation,
+matching the XLA path's ``precision=DEFAULT`` bench configuration.
+
+The double-norm VJP uses the same equal-tie-splitting max subgradient as
+jax's autodiff (derivation in ola_norm.py; the composed scale here is
+the algebraically-identical one-reduction form C = m1(1+e) + e^2).
+
+Ops are single-clip (no grid); batching comes from ``vmap``'s Pallas
+batching rule, which turns the batch into the kernel grid — so the same
+code path serves ``embed_one`` and the vmapped ``embed_batch``.
+
+Layout: time-major (T, n) tiles, band dimension padded 225 -> P=256
+lanes; hop = 256 = two native lane tiles.  Requires hop | n_fft and
+hop | n_fft//2 (true for the 1024/256 card).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ------------------------------------------------------------ synthesis ---
+
+def _synth_kernel(coeffs_ref, csin_ref, yconst_ref, env_ref, ab_ref,
+                  y2_ref, m1_ref, reim, yd):
+    """One clip: padded coeffs (T, P) -> normalized signal rows
+    (T-1, hop) + the pre-norm max (SMEM scalar)."""
+    t, p = coeffs_ref.shape
+    lr, hop = y2_ref.shape
+    r = yd.shape[0] - t + 1
+    pad_rows = r // 2  # (n_fft//2)//hop with n_fft = r*hop, r even
+
+    c = coeffs_ref[:]
+    reim[:, :p] = c * csin_ref[:, :p]
+    reim[:, p:] = c * csin_ref[:, p:]
+    rb = reim[:].astype(jnp.bfloat16)
+
+    yd[:] = jnp.zeros_like(yd)
+    for k in range(r):
+        yd[k : k + t, :] += jnp.dot(
+            rb, ab_ref[:, k * hop : (k + 1) * hop],
+            preferred_element_type=jnp.float32,
+        )
+
+    u = yd[pad_rows : pad_rows + lr, :] / env_ref[:] + yconst_ref[:]
+    m1 = jnp.max(jnp.abs(u))
+    cden = m1 * (1.0 + _EPS) + _EPS * _EPS
+    y2_ref[:] = u / cden
+    m1_ref[0, 0] = m1
+
+
+def _synth_bwd_kernel(g_ref, y2_ref, m1_ref, csin_ref, env_ref, abt_ref,
+                      dcoeffs_ref, gyd, dreim):
+    """VJP of _synth_kernel w.r.t. the padded coefficients."""
+    lr, hop = g_ref.shape
+    t, p = dcoeffs_ref.shape
+    r = gyd.shape[0] - t + 1
+    pad_rows = r // 2
+
+    g = g_ref[:]
+    y2 = y2_ref[:]
+    m1 = m1_ref[0, 0]
+    cden = m1 * (1.0 + _EPS) + _EPS * _EPS
+    # d/du of u/C(m1): g/C - (sum g.y2) * C'(m1)/C * dm1/du, with
+    # C' = 1+e and dm1/du the equal-tie-split max subgradient.  The tie
+    # mask comes from y2 (positive scaling preserves the argmax set).
+    q = jnp.sum(g * y2)
+    m2b = jnp.max(jnp.abs(y2))
+    mask = (jnp.abs(y2) == m2b).astype(g.dtype)
+    ties = jnp.sum(mask)
+    g_u = g / cden - (q * (1.0 + _EPS) / cden) * jnp.sign(y2) * mask / ties
+
+    g_crop = g_u / env_ref[:]
+    gyd[:] = jnp.zeros_like(gyd)
+    gyd[pad_rows : pad_rows + lr, :] = g_crop
+
+    for k in range(r):
+        gk = gyd[k : k + t, :].astype(jnp.bfloat16)
+        dot = jnp.dot(
+            gk, abt_ref[k * hop : (k + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
+        if k == 0:
+            dreim[:] = dot
+        else:
+            dreim[:] += dot
+
+    dcoeffs_ref[:] = (
+        dreim[:, :p] * csin_ref[:, :p] + dreim[:, p:] * csin_ref[:, p:]
+    )
+
+
+# ------------------------------------------------------------- analysis ---
+
+def _analysis_kernel(y2_ref, csw_ref, cs2_ref, yp):
+    """One clip: signal rows (T-1, hop) -> zero-pad-framed in-band Re/Im
+    (T, 2P).  Boundary frames lack the reflect-pad contribution (added by
+    the caller in XLA)."""
+    lr, hop = y2_ref.shape
+    t = cs2_ref.shape[0]
+    r = yp.shape[0] - t + 1
+    pad_rows = r // 2
+
+    yp[:] = jnp.zeros_like(yp)
+    yp[pad_rows : pad_rows + lr, :] = y2_ref[:]
+
+    for k in range(r):
+        yk = yp[k : k + t, :].astype(jnp.bfloat16)
+        dot = jnp.dot(
+            yk, csw_ref[k * hop : (k + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
+        if k == 0:
+            cs2_ref[:] = dot
+        else:
+            cs2_ref[:] += dot
+
+
+def _analysis_bwd_kernel(g_ref, cswt_ref, gy2_ref, gyp):
+    """VJP of _analysis_kernel w.r.t. the signal rows."""
+    t = g_ref.shape[0]
+    lr, hop = gy2_ref.shape
+    r = gyp.shape[0] - t + 1
+    pad_rows = r // 2
+
+    gb = g_ref[:].astype(jnp.bfloat16)
+    gyp[:] = jnp.zeros_like(gyp)
+    for k in range(r):
+        gyp[k : k + t, :] += jnp.dot(
+            gb, cswt_ref[:, k * hop : (k + 1) * hop],
+            preferred_element_type=jnp.float32,
+        )
+    gy2_ref[:] = gyp[pad_rows : pad_rows + lr, :]
+
+
+# ----------------------------------------------------------------- ops ---
+
+def _vspec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _synth_impl(coeffs_t, csin, y_const, env, ab):
+    t, p = coeffs_t.shape
+    lr, hop = env.shape
+    r = ab.shape[1] // hop
+    return pl.pallas_call(
+        _synth_kernel,
+        in_specs=[_vspec()] * 5,
+        out_specs=[
+            _vspec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lr, hop), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, 2 * p), jnp.float32),
+            pltpu.VMEM((t + r - 1, hop), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(coeffs_t, csin, y_const, env, ab)
+
+
+@jax.custom_vjp
+def synth_norm(coeffs_t, csin, y_const, env, ab, abt):
+    """Synthesis half for ONE clip: padded time-major coefficients (T, P)
+    -> doubly-peak-normalized signal rows (T-1, hop).
+
+    csin (T, 2P) = [cos | sin] of the in-band phase (padded); y_const
+    (T-1, hop) the envelope-divided out-of-band waveform; env (T-1, hop);
+    ab (2P, n_fft) bf16 synthesis basis (window folded); abt its
+    transpose (used only by the VJP).  Batch with ``vmap``.
+    """
+    y2, _ = _synth_impl(coeffs_t, csin, y_const, env, ab)
+    return y2
+
+
+def _synth_fwd(coeffs_t, csin, y_const, env, ab, abt):
+    y2, m1 = _synth_impl(coeffs_t, csin, y_const, env, ab)
+    return y2, (y2, m1, csin, env, abt)
+
+
+def _synth_bwd(res, g):
+    y2, m1, csin, env, abt = res
+    lr, hop = y2.shape
+    t = lr + 1
+    p = csin.shape[1] // 2
+    r = abt.shape[0] // hop
+    dcoeffs = pl.pallas_call(
+        _synth_bwd_kernel,
+        in_specs=[
+            _vspec(),
+            _vspec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _vspec(),
+            _vspec(),
+            _vspec(),
+        ],
+        out_specs=_vspec(),
+        out_shape=jax.ShapeDtypeStruct((t, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t + r - 1, hop), jnp.float32),
+            pltpu.VMEM((t, 2 * p), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(g, y2, m1, csin, env, abt)
+    return (dcoeffs, jnp.zeros_like(csin), jnp.zeros_like(y2),
+            jnp.zeros_like(env), jnp.zeros_like(abt).T,
+            jnp.zeros_like(abt))
+
+
+synth_norm.defvjp(_synth_fwd, _synth_bwd)
+
+
+def _analysis_impl(y2, csw):
+    lr, hop = y2.shape
+    t = lr + 1
+    r = csw.shape[0] // hop
+    p2 = csw.shape[1]
+    return pl.pallas_call(
+        _analysis_kernel,
+        in_specs=[_vspec(), _vspec()],
+        out_specs=_vspec(),
+        out_shape=jax.ShapeDtypeStruct((t, p2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t + r - 1, hop), jnp.float32)],
+        interpret=_use_interpret(),
+    )(y2, csw)
+
+
+@jax.custom_vjp
+def band_analysis(y2, csw, cswt):
+    """Analysis half for ONE clip: signal rows (T-1, hop) -> zero-padded
+    framed in-band Re/Im (T, 2P).  csw (n_fft, 2P) bf16 windowed analysis
+    basis; cswt its transpose (VJP only).  Batch with ``vmap``."""
+    return _analysis_impl(y2, csw)
+
+
+def _analysis_fwd(y2, csw, cswt):
+    return _analysis_impl(y2, csw), (y2.shape, csw, cswt)
+
+
+def _analysis_bwd(res, g):
+    (lr, hop), csw, cswt = res
+    t = lr + 1
+    r = cswt.shape[1] // hop
+    p2 = cswt.shape[0]
+    gy2 = pl.pallas_call(
+        _analysis_bwd_kernel,
+        in_specs=[_vspec(), _vspec()],
+        out_specs=_vspec(),
+        out_shape=jax.ShapeDtypeStruct((lr, hop), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t + r - 1, hop), jnp.float32)],
+        interpret=_use_interpret(),
+    )(g, cswt)
+    return gy2, jnp.zeros_like(csw), jnp.zeros_like(cswt)
+
+
+band_analysis.defvjp(_analysis_fwd, _analysis_bwd)
+
+
+# ------------------------------------------------------------- XLA glue ---
+
+def edge_corrections(y2_flat, csw_k, n_fft, hop, t_frames):
+    """The reflect-pad contributions the zero-pad analysis kernel omits.
+
+    Returns a (T, 2P) tensor that is zero except in frames
+    {0, 1, T-2, T-1}; add it to the kernel's cs2 before the magnitude.
+    csw_k: list of r f32 (hop, 2P) windowed analysis basis slabs.
+    """
+    half = n_fft // 2
+    if half != 2 * hop:
+        raise NotImplementedError("edge corrections assume n_fft//2 == 2*hop")
+    lp0 = y2_flat[half - hop + 1 : half + 1][::-1]
+    lp1 = y2_flat[1 : half - hop + 1][::-1]
+    rp0 = y2_flat[-hop - 1 : -1][::-1]
+    rp1 = y2_flat[-half - 1 : -hop - 1][::-1]
+    t2p = (t_frames, csw_k[0].shape[1])
+    corr = jnp.zeros(t2p, jnp.float32)
+    corr = corr.at[0].add(lp0 @ csw_k[0] + lp1 @ csw_k[1])
+    corr = corr.at[1].add(lp1 @ csw_k[0])
+    corr = corr.at[t_frames - 2].add(rp0 @ csw_k[3])
+    corr = corr.at[t_frames - 1].add(rp0 @ csw_k[2] + rp1 @ csw_k[3])
+    return corr

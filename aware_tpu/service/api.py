@@ -141,6 +141,26 @@ def load(
     secret (reference: load_model.py:6-76).
     """
     cfg = AwareConfig.from_card(card) if card else AwareConfig()
+    if "use_pallas_roundtrip" not in overrides and cfg.use_slab_dft:
+        # On an accelerator the fused round-trip kernels are the fastest
+        # validated embed path (~50 vs ~39 clips/s on v5e); on CPU pallas
+        # runs in interpret mode, so the XLA slab path stays the default.
+        import jax
+
+        on_accel = jax.default_backend() != "cpu"
+        cfg = cfg.replace(use_pallas_roundtrip=on_accel)
+        if on_accel and jax.config.jax_compilation_cache_dir is None:
+            # the fused-kernel program costs minutes of Mosaic compile per
+            # clip length — persist it so only the first embed ever pays
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/aware_tpu/jax"),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5
+            )
     if overrides:
         cfg = cfg.replace(**overrides)
     params = init_params(cfg.detection_net)

@@ -50,6 +50,14 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: the fused-kernel pipeline takes ~10 min of
+    # XLA+Mosaic compilation cold; warmed by any prior bench run on this
+    # machine (bit-identical program => cache hit)
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
 
     from aware_tpu.config import AwareConfig
@@ -58,10 +66,13 @@ def main() -> None:
     from aware_tpu.models.detector import detect_values
     from aware_tpu.ops.resample import resample_poly
 
-    # full 400-iteration reference algorithm; single-pass bf16 MXU matmuls +
-    # 2x scan unroll are outcome-validated (0% BER clean and under attacks,
-    # cross-precision detection clean — see commit history / ITER_SWEEP.json)
-    cfg = AwareConfig().replace(matmul_precision="default", scan_unroll=2)
+    # full 400-iteration reference algorithm; single-pass bf16 MXU matmuls,
+    # 2x scan unroll and the fused Pallas round-trip kernels are outcome-
+    # validated (0% BER clean and under attacks, cross-precision detection
+    # clean — see commit history / ITER_SWEEP.json / PERF_NOTES.md)
+    cfg = AwareConfig().replace(
+        matmul_precision="default", scan_unroll=2, use_pallas_roundtrip=True
+    )
     params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
 
     clips44 = make_clips(args.batch)

@@ -94,3 +94,138 @@ def test_vmap_compatible(wframes, window):
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(ref), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused slab round-trip kernels (ops/pallas/roundtrip.py)
+# ---------------------------------------------------------------------------
+
+class TestRoundtripKernels:
+    """synth_norm / band_analysis vs bf16-identical pure-jax replicas.
+
+    The kernels cast matmul operands (and, in the VJPs, cotangents) to
+    bf16 — the same precision profile as the XLA path's DEFAULT-precision
+    MXU matmuls on TPU — so forward comparisons are exact and VJP
+    comparisons allow bf16-cotangent rounding.
+    """
+
+    T, P, R = 126, 256, 4
+    HOP = 256
+
+    @pytest.fixture(scope="class")
+    def ops_data(self, rng):
+        t, p, hop, r = self.T, self.P, self.HOP, self.R
+        nfft = r * hop
+        lr = t - 1
+        d = {
+            "ct": jnp.asarray(rng.standard_normal((t, p)).astype(np.float32)),
+            "csin": jnp.asarray(
+                rng.standard_normal((t, 2 * p)).astype(np.float32)
+            ),
+            "yconst": jnp.asarray(
+                rng.standard_normal((lr, hop)).astype(np.float32)
+            ),
+            "env": jnp.asarray(
+                (1.0 + rng.random((lr, hop))).astype(np.float32)
+            ),
+        }
+        ab_np = rng.standard_normal((2 * p, nfft)).astype(np.float32)
+        csw_np = rng.standard_normal((nfft, 2 * p)).astype(np.float32)
+        d["ab"] = jnp.asarray(ab_np, jnp.bfloat16)
+        d["abt"] = jnp.asarray(ab_np.T.copy(), jnp.bfloat16)
+        d["csw"] = jnp.asarray(csw_np, jnp.bfloat16)
+        d["cswt"] = jnp.asarray(csw_np.T.copy(), jnp.bfloat16)
+        return d
+
+    def _synth_ref(self, d, c):
+        t, p, hop, r = self.T, self.P, self.HOP, self.R
+        lr = t - 1
+        reim = jnp.concatenate([c * d["csin"][:, :p], c * d["csin"][:, p:]], axis=1)
+        rb = reim.astype(jnp.bfloat16)
+        yd = jnp.zeros((t + r - 1, hop))
+        for k in range(r):
+            yd = yd.at[k : k + t].add(
+                jnp.dot(rb, d["ab"][:, k * hop : (k + 1) * hop],
+                        preferred_element_type=jnp.float32)
+            )
+        u = yd[r // 2 : r // 2 + lr] / d["env"] + d["yconst"]
+        m1 = jnp.max(jnp.abs(u))
+        return u / (m1 * (1 + 1e-8) + 1e-16)
+
+    def _ana_ref(self, d, y2):
+        t, hop, r = self.T, self.HOP, self.R
+        lr = t - 1
+        yp = jnp.zeros((t + r - 1, hop)).at[r // 2 : r // 2 + lr].set(y2)
+        out = 0
+        for k in range(r):
+            out = out + jnp.dot(
+                yp[k : k + t].astype(jnp.bfloat16),
+                d["csw"][k * hop : (k + 1) * hop],
+                preferred_element_type=jnp.float32,
+            )
+        return out
+
+    def test_synth_forward_exact(self, ops_data):
+        from aware_tpu.ops.pallas.roundtrip import synth_norm
+
+        d = ops_data
+        y2_k = synth_norm(d["ct"], d["csin"], d["yconst"], d["env"],
+                          d["ab"], d["abt"])
+        y2_r = self._synth_ref(d, d["ct"])
+        np.testing.assert_array_equal(np.asarray(y2_k), np.asarray(y2_r))
+
+    def test_analysis_forward_exact(self, ops_data):
+        from aware_tpu.ops.pallas.roundtrip import band_analysis
+
+        d = ops_data
+        y2 = self._synth_ref(d, d["ct"])
+        cs_k = band_analysis(y2, d["csw"], d["cswt"])
+        cs_r = self._ana_ref(d, y2)
+        np.testing.assert_array_equal(np.asarray(cs_k), np.asarray(cs_r))
+
+    def test_vjps_match_autodiff(self, ops_data, rng):
+        from aware_tpu.ops.pallas.roundtrip import band_analysis, synth_norm
+
+        d = ops_data
+        g1 = jnp.asarray(
+            rng.standard_normal((self.T - 1, self.HOP)).astype(np.float32)
+        )
+        _, vk = jax.vjp(
+            lambda c: synth_norm(c, d["csin"], d["yconst"], d["env"],
+                                 d["ab"], d["abt"]), d["ct"]
+        )
+        _, vr = jax.vjp(lambda c: self._synth_ref(d, c), d["ct"])
+        dk, dr = vk(g1)[0], vr(g1)[0]
+        scale = float(jnp.max(jnp.abs(dr)))
+        assert float(jnp.max(jnp.abs(dk - dr))) / scale < 0.02
+
+        y2 = self._synth_ref(d, d["ct"])
+        g2 = jnp.asarray(
+            rng.standard_normal((self.T, 2 * self.P)).astype(np.float32)
+        )
+        _, vk2 = jax.vjp(lambda y: band_analysis(y, d["csw"], d["cswt"]), y2)
+        _, vr2 = jax.vjp(lambda y: self._ana_ref(d, y), y2)
+        dk2, dr2 = vk2(g2)[0], vr2(g2)[0]
+        scale2 = float(jnp.max(jnp.abs(dr2)))
+        assert float(jnp.max(jnp.abs(dk2 - dr2))) / scale2 < 0.02
+
+    def test_solver_outcome_with_kernels(self, speechlike):
+        """25-iteration embed through the kernel path reads back 0 BER and
+        lands at the slab path's loss (outcome-level; bf16 kernels vs f32
+        CPU XLA makes bit-comparison meaningless)."""
+        from aware_tpu.embed.solver import embed_core
+        from aware_tpu.models import detect_values, init_params
+
+        bits = np.random.default_rng(5).integers(0, 2, 20)
+        wm = jnp.asarray((2 * bits - 1).astype(np.float32))
+        clip = jnp.asarray(speechlike)
+        cfg_k = AwareConfig().replace(use_pallas_roundtrip=True,
+                                      num_iterations=25)
+        cfg_s = AwareConfig().replace(num_iterations=25)
+        params = {k: jnp.asarray(v)
+                  for k, v in init_params(cfg_k.detection_net).items()}
+        rk = embed_core(params, clip, wm, cfg_k)
+        rs = embed_core(params, clip, wm, cfg_s)
+        vk = np.asarray(detect_values(params, rk.audio))
+        assert np.mean((vk > 0).astype(int) != bits) == 0.0
+        assert abs(float(rk.best_loss) - float(rs.best_loss)) < 0.02
