@@ -225,16 +225,19 @@ def build_problem(
             y_const2d = istft_synthesis(frames_const, n_fft, hop, window).reshape(
                 t_frames - 1, hop
             )
-            AB_k = [AB_in[:, k * hop : (k + 1) * hop] for k in range(r)]
-            wcol = jnp.asarray(window.astype(np.float32))[:, None]
-            CSw = jnp.asarray(CS_in) * wcol
-            CSw_k = [CSw[k * hop : (k + 1) * hop, :] for k in range(r)]
             half = n_fft // 2
 
             pallas_ok = (
                 cfg.use_pallas_roundtrip
                 and half == 2 * hop
                 and hop % 128 == 0
+                # the kernels are whole-clip VMEM-resident (~8 KB/frame +
+                # ~2.5 MB fixed of the ~16 MB core); past this the XLA
+                # slab path takes over rather than failing Mosaic compile
+                and mag.shape[-1] <= 1024
+                # honor an explicit maximal-precision request — the
+                # kernels are single-pass bf16 by construction
+                and cfg.matmul_precision != "highest"
             )
             if pallas_ok:
                 from aware_tpu.ops.pallas.roundtrip import (
@@ -283,6 +286,10 @@ def build_problem(
                     return m2_in, yf
 
             if not pallas_ok:
+                AB_k = [AB_in[:, k * hop : (k + 1) * hop] for k in range(r)]
+                wcol = jnp.asarray(window.astype(np.float32))[:, None]
+                CSw = jnp.asarray(CS_in) * wcol
+                CSw_k = [CSw[k * hop : (k + 1) * hop, :] for k in range(r)]
 
                 def roundtrip(coeffs):  # XLA slab formulation
                     reim_t = jnp.concatenate(

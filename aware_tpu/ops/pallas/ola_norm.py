@@ -48,7 +48,9 @@ _EPS = 1e-8
 
 
 def _use_interpret() -> bool:
-    return jax.default_backend() == "cpu"
+    # Mosaic kernels only exist for TPU; every other backend (cpu, gpu)
+    # runs the interpreter so the code path stays portable
+    return jax.default_backend() != "tpu"
 
 
 def _fwd_kernel(wf_ref, env_ref, y2_ref, m1_ref, acc):

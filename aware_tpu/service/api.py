@@ -141,15 +141,27 @@ def load(
     secret (reference: load_model.py:6-76).
     """
     cfg = AwareConfig.from_card(card) if card else AwareConfig()
-    if "use_pallas_roundtrip" not in overrides and cfg.use_slab_dft:
-        # On an accelerator the fused round-trip kernels are the fastest
-        # validated embed path (~50 vs ~39 clips/s on v5e); on CPU pallas
-        # runs in interpret mode, so the XLA slab path stays the default.
+    card_keys: set = set()
+    if card:
+        import pathlib
+
+        import yaml
+
+        card_keys = set(yaml.safe_load(pathlib.Path(card).read_text()) or {})
+    if (
+        "use_pallas_roundtrip" not in overrides
+        and "use_pallas_roundtrip" not in card_keys
+        and cfg.use_slab_dft
+    ):
+        # On TPU the fused round-trip kernels are the fastest validated
+        # embed path (~50 vs ~39 clips/s on v5e); elsewhere pallas runs in
+        # interpret mode, so the XLA slab path stays the default.  A card
+        # or kwarg that pins the flag is honored as-is.
         import jax
 
-        on_accel = jax.default_backend() != "cpu"
-        cfg = cfg.replace(use_pallas_roundtrip=on_accel)
-        if on_accel and jax.config.jax_compilation_cache_dir is None:
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = cfg.replace(use_pallas_roundtrip=on_tpu)
+        if on_tpu and jax.config.jax_compilation_cache_dir is None:
             # the fused-kernel program costs minutes of Mosaic compile per
             # clip length — persist it so only the first embed ever pays
             import os

@@ -229,3 +229,25 @@ class TestRoundtripKernels:
         vk = np.asarray(detect_values(params, rk.audio))
         assert np.mean((vk > 0).astype(int) != bits) == 0.0
         assert abs(float(rk.best_loss) - float(rs.best_loss)) < 0.02
+
+    def test_embed_batch_with_kernels(self, speechlike):
+        """The vmapped kernel path (pallas batching rule: batch -> grid,
+        the bench.py configuration) solves to 0 BER for every lane."""
+        from aware_tpu.embed.solver import embed_batch
+        from aware_tpu.models import detect_values, init_params
+
+        rng = np.random.default_rng(9)
+        bits = rng.integers(0, 2, (2, 20))
+        wms = jnp.asarray((2 * bits - 1).astype(np.float32))
+        clips = jnp.asarray(
+            np.stack([speechlike, np.roll(speechlike, 1234)])
+        )
+        cfg = AwareConfig().replace(use_pallas_roundtrip=True,
+                                    num_iterations=25)
+        params = {k: jnp.asarray(v)
+                  for k, v in init_params(cfg.detection_net).items()}
+        res = embed_batch(params, clips, wms, cfg)
+        v = np.asarray(
+            jax.vmap(lambda a: detect_values(params, a))(res.audio)
+        )
+        assert np.mean((v > 0).astype(int) != bits) == 0.0
