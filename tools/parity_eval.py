@@ -103,8 +103,22 @@ def main() -> None:
     n_clips = args.clips
     c_clips = n_clips if args.c_clips is None else min(args.c_clips, n_clips)
 
+    # jitted, cached per attacked length — detect_values called eagerly
+    # costs dozens of tunnel round trips per clip on the TPU device
+    jit_detect = jax.jit(lambda a: detect_values(params, a))
+
     def our_detect(audio) -> np.ndarray:
-        return np.asarray(detect_values(params, jnp.asarray(audio, jnp.float32)))
+        return np.asarray(jit_detect(jnp.asarray(audio, jnp.float32)))
+
+    cpu0 = jax.devices("cpu")[0] if args.device == "tpu" else None
+
+    def apply_attack(atk, audio, key):
+        """Attacks are eager jnp graphs — run them on host CPU so each op
+        is a local call, not a tunnel dispatch."""
+        if cpu0 is None:
+            return np.asarray(atk.apply(audio, 16000, key=key), np.float32)
+        with jax.default_device(cpu0):
+            return np.asarray(atk.apply(audio, 16000, key=key), np.float32)
 
     # amortized one-shot embedder (no reference counterpart: A/B only)
     amortized = None
@@ -178,14 +192,27 @@ def main() -> None:
             rows.setdefault("clean", []).append(abc(our_audio, their_audio))
             for j, atk in enumerate(attacks):
                 key = args.seed * 9973 + i * 101 + j
-                att_ours = np.asarray(atk.apply(our_audio, 16000, key=key), np.float32)
+                att_ours = apply_attack(atk, our_audio, key)
                 att_theirs = (
-                    np.asarray(atk.apply(their_audio, 16000, key=key), np.float32)
+                    apply_attack(atk, their_audio, key)
                     if their_audio is not None
                     else None
                 )
                 rows.setdefault(atk.name, []).append(abc(att_ours, att_theirs))
         print(f"clip {i + 1}/{n_clips} done", flush=True)
+        # incremental checkpoint: a multi-hour TPU run must survive a kill
+        import json
+
+        ck = pathlib.Path(__file__).parent.parent / "PARITY_PARTIAL.json"
+        ck.write_text(json.dumps({
+            "clips_done": i + 1,
+            "n_clips": n_clips,
+            "c_clips": c_clips,
+            "tables": {
+                v: {a: [list(x) for x in vals] for a, vals in rows.items()}
+                for v, rows in tables.items()
+            },
+        }))
 
     bits_per_row = n_clips * 20
     lines = [
