@@ -123,7 +123,14 @@ def run_robustness_eval(
         rec["snr"].append(snr(wm, audio[: len(wm)]))
 
         for j, attack in enumerate(attacks):
-            attacked = attack.apply(wm, sample_rate, key=seed * 10007 + i * 101 + j)
+            # attacks are eager jnp graphs; on a remote-TPU transport each
+            # op would be a dispatch round trip — run them on host CPU
+            import jax
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                attacked = attack.apply(
+                    wm, sample_rate, key=seed * 10007 + i * 101 + j
+                )
             detected = _detect(
                 np.asarray(attacked, dtype=np.float32), sample_rate, detector
             )

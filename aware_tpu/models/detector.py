@@ -386,6 +386,18 @@ def detect_values(
     return detector_apply(params, mag, cfg, matmul_precision)
 
 
+# jitted entry (cached per distinct audio length + static config): called
+# eagerly, the detection forward costs dozens of per-op dispatches, which
+# through a remote-TPU transport dominates end-to-end detect latency
+detect_values_jit = jax.jit(
+    detect_values,
+    static_argnames=(
+        "cfg", "hop_length", "window", "win_length", "embedding_bands",
+        "matmul_precision",
+    ),
+)
+
+
 def model_info(params: DetectorParams, cfg: DetectorNetConfig) -> dict[str, Any]:
     """Architecture summary (reference: multibit_detector_net.py:143-157)."""
     total = sum(int(np.asarray(v).size) for v in params.values())

@@ -115,8 +115,10 @@ class AWAREDetector:
             raise ValueError(
                 f"Detector operates at {self.cfg.detection_net.sample_rate} Hz"
             )
+        from aware_tpu.models.detector import detect_values_jit
+
         return np.asarray(
-            detect_values(
+            detect_values_jit(
                 self.params,
                 jnp.asarray(audio, jnp.float32),
                 self.cfg.detection_net,

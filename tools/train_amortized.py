@@ -92,10 +92,10 @@ def eval_state(e_params, d_params, cfg, n_clips=6, seed=900,
         snrs.append(10 * np.log10(np.mean(ref**2) / (np.mean((out - ref) ** 2) + 1e-12)))
 
         # warm start: amortized band prediction as solver init
-        mag, _ = magphase(stft(peak_normalize(jnp.asarray(clip)),
-                               cfg.frame_length, cfg.hop_length, window))
+        mag, ph = magphase(stft(peak_normalize(jnp.asarray(clip)),
+                                cfg.frame_length, cfg.hop_length, window))
         band_init = embedder_apply(e_params, mag[lo:hi], jnp.asarray(wm),
-                                   cfg.tolerance_db)
+                                   cfg.tolerance_db, band_phase=ph[lo:hi])
         for iters in warm:
             c = cfg.replace(num_iterations=iters)
             rw = embed_core(d_params, jnp.asarray(clip), jnp.asarray(wm), c,
@@ -160,12 +160,18 @@ def main() -> None:
     ap.add_argument("--init", default=None, help="npz to warm-start from")
     ap.add_argument("--diverse", action="store_true",
                     help="train on the mixed clip families (OOD robustness)")
+    ap.add_argument("--phase", action="store_true",
+                    help="phase-conditioned net (cos/sin input channels)")
+    ap.add_argument("--dual-view", action="store_true",
+                    help="detection loss on clean AND attacked views")
+    ap.add_argument("--out", default="amortized_v1.npz",
+                    help="output bundle filename under models/_key/")
     args = ap.parse_args()
 
     cfg = AwareConfig()
     d_params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
 
-    npz_path = OUT_DIR / "amortized_v1.npz"
+    npz_path = OUT_DIR / args.out
     if args.eval_only:
         metrics = eval_all_bundles(d_params, cfg)
         print(json.dumps(metrics, indent=2))
@@ -179,7 +185,10 @@ def main() -> None:
         learning_rate=args.lr,
         lambda_percept=args.lambda_percept,
         steps=args.steps,
-        embedder=AmortizedEmbedderConfig(hidden=tuple(args.hidden)),
+        dual_view=args.dual_view,
+        embedder=AmortizedEmbedderConfig(
+            hidden=tuple(args.hidden), phase_conditioned=args.phase
+        ),
     )
     if args.diverse:
         from aware_tpu.train.distill import diverse_clip
