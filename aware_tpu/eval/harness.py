@@ -18,6 +18,7 @@ from __future__ import annotations
 import pathlib
 from typing import Mapping, Sequence
 
+import jax
 import numpy as np
 
 from aware_tpu.attacks import Attack, default_attack_suite
@@ -125,8 +126,6 @@ def run_robustness_eval(
         for j, attack in enumerate(attacks):
             # attacks are eager jnp graphs; on a remote-TPU transport each
             # op would be a dispatch round trip — run them on host CPU
-            import jax
-
             with jax.default_device(jax.devices("cpu")[0]):
                 attacked = attack.apply(
                     wm, sample_rate, key=seed * 10007 + i * 101 + j

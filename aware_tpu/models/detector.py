@@ -386,15 +386,31 @@ def detect_values(
     return detector_apply(params, mag, cfg, matmul_precision)
 
 
-# jitted entry (cached per distinct audio length + static config): called
-# eagerly, the detection forward costs dozens of per-op dispatches, which
-# through a remote-TPU transport dominates end-to-end detect latency
-detect_values_jit = jax.jit(
-    detect_values,
-    static_argnames=(
-        "cfg", "hop_length", "window", "win_length", "embedding_bands",
-        "matmul_precision",
-    ),
+# jitted entries (cached per distinct audio length + static config):
+# called eagerly, the detection forward costs dozens of per-op dispatches,
+# which through a remote-TPU transport dominates end-to-end detect latency
+_DETECT_STATICS = (
+    "cfg", "hop_length", "window", "win_length", "embedding_bands",
+    "matmul_precision",
+)
+detect_values_jit = jax.jit(detect_values, static_argnames=_DETECT_STATICS)
+
+
+def _detect_values_batch(params, audios, cfg=DetectorNetConfig(),
+                         hop_length=256, window="hann", win_length=None,
+                         embedding_bands=(500.0, 4000.0),
+                         matmul_precision="highest"):
+    return jax.vmap(
+        lambda a: detect_values(
+            params, a, cfg, hop_length=hop_length, window=window,
+            win_length=win_length, embedding_bands=embedding_bands,
+            matmul_precision=matmul_precision,
+        )
+    )(audios)
+
+
+detect_values_batch_jit = jax.jit(
+    _detect_values_batch, static_argnames=_DETECT_STATICS
 )
 
 

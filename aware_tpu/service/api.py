@@ -142,14 +142,17 @@ def load(
     The two handles share one params pytree — the keyed net is the shared
     secret (reference: load_model.py:6-76).
     """
-    cfg = AwareConfig.from_card(card) if card else AwareConfig()
     card_keys: set = set()
     if card:
         import pathlib
 
         import yaml
 
-        card_keys = set(yaml.safe_load(pathlib.Path(card).read_text()) or {})
+        card_dict = yaml.safe_load(pathlib.Path(card).read_text()) or {}
+        card_keys = set(card_dict)
+        cfg = AwareConfig.from_dict(card_dict)
+    else:
+        cfg = AwareConfig()
     if (
         "use_pallas_roundtrip" not in overrides
         and "use_pallas_roundtrip" not in card_keys
@@ -161,7 +164,13 @@ def load(
         # or kwarg that pins the flag is honored as-is.
         import jax
 
-        on_tpu = jax.default_backend() == "tpu"
+        # mirror of the solver's own gating (solver.py pallas_ok): the
+        # kernels are bf16, so a card pinning 'highest' precision keeps
+        # the XLA slab path — don't set a flag that would be dead there
+        on_tpu = (
+            jax.default_backend() == "tpu"
+            and cfg.matmul_precision != "highest"
+        )
         cfg = cfg.replace(use_pallas_roundtrip=on_tpu)
         if on_tpu and jax.config.jax_compilation_cache_dir is None:
             # the fused-kernel program costs minutes of Mosaic compile per
@@ -357,19 +366,19 @@ def detect_watermark_batch(
     if sample_rate != model_sr:
         audios = np.stack([_resample_nd(a, sample_rate, model_sr) for a in audios])
     cfg = detector.cfg
+    from aware_tpu.models.detector import detect_values_batch_jit
+
     values = np.asarray(
-        jax.vmap(
-            lambda a: detect_values(
-                detector.params,
-                a,
-                cfg.detection_net,
-                hop_length=cfg.hop_length,
-                window=cfg.window,
-                win_length=cfg.win_length,
-                embedding_bands=cfg.embedding_bands,
-                matmul_precision=cfg.matmul_precision,
-            )
-        )(jnp.asarray(audios))
+        detect_values_batch_jit(
+            detector.params,
+            jnp.asarray(audios),
+            cfg.detection_net,
+            hop_length=cfg.hop_length,
+            window=cfg.window,
+            win_length=cfg.win_length,
+            embedding_bands=cfg.embedding_bands,
+            matmul_precision=cfg.matmul_precision,
+        )
     )
     return np.stack(
         [decode_pattern(v, detector.pattern_mode, detector.threshold) for v in values]

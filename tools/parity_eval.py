@@ -88,7 +88,7 @@ def main() -> None:
     from aware_tpu.config import AwareConfig
     from aware_tpu.embed import embed_one
     from aware_tpu.metrics import ber
-    from aware_tpu.models import detect_values, init_params
+    from aware_tpu.models import init_params
     from tests.oracles.torch_ref import (
         OracleDetectorNet,
         oracle_detect_values,
@@ -105,10 +105,12 @@ def main() -> None:
 
     # jitted, cached per attacked length — detect_values called eagerly
     # costs dozens of tunnel round trips per clip on the TPU device
-    jit_detect = jax.jit(lambda a: detect_values(params, a))
+    from aware_tpu.models.detector import detect_values_jit
 
     def our_detect(audio) -> np.ndarray:
-        return np.asarray(jit_detect(jnp.asarray(audio, jnp.float32)))
+        return np.asarray(
+            detect_values_jit(params, jnp.asarray(audio, jnp.float32))
+        )
 
     cpu0 = jax.devices("cpu")[0] if args.device == "tpu" else None
 
@@ -204,12 +206,17 @@ def main() -> None:
         import json
 
         ck = pathlib.Path(__file__).parent.parent / "PARITY_PARTIAL.json"
+
+        def _j(x):  # NaN (missing C column) -> null, keeping strict JSON
+            return None if isinstance(x, float) and np.isnan(x) else x
+
         ck.write_text(json.dumps({
             "clips_done": i + 1,
             "n_clips": n_clips,
             "c_clips": c_clips,
             "tables": {
-                v: {a: [list(x) for x in vals] for a, vals in rows.items()}
+                v: {a: [[_j(x) for x in t] for t in vals]
+                    for a, vals in rows.items()}
                 for v, rows in tables.items()
             },
         }))

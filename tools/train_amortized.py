@@ -164,8 +164,10 @@ def main() -> None:
                     help="phase-conditioned net (cos/sin input channels)")
     ap.add_argument("--dual-view", action="store_true",
                     help="detection loss on clean AND attacked views")
-    ap.add_argument("--out", default="amortized_v1.npz",
-                    help="output bundle filename under models/_key/")
+    ap.add_argument("--out", default="amortized_new.npz",
+                    help="output bundle filename under models/_key/ — "
+                         "deliberately NOT a shipped bundle name; rename "
+                         "after validating (fast.py _VARIANTS)")
     args = ap.parse_args()
 
     cfg = AwareConfig()
@@ -219,9 +221,11 @@ def main() -> None:
     metrics = eval_state(state.e_params, d_params, cfg)
     metrics["final_train"] = history[-1]
     print(json.dumps(metrics, indent=2))
-    (pathlib.Path(__file__).parent.parent / "AMORTIZED_EVAL.json").write_text(
-        json.dumps(metrics, indent=2)
-    )
+    # AMORTIZED_EVAL.json is the all-bundle evidence set, regenerated only
+    # by --eval-only; a training run records its own metrics next to it
+    stem = pathlib.Path(args.out).stem
+    (pathlib.Path(__file__).parent.parent
+     / f"AMORTIZED_TRAIN_{stem}.json").write_text(json.dumps(metrics, indent=2))
 
 
 if __name__ == "__main__":
