@@ -16,9 +16,10 @@ per-clip optimization):
   output semantics as ``embed_watermark``.
 
   Honest value statement (AMORTIZED_EVAL.json iso-iteration grid): the
-  warm start adds NO measurable clean-BER benefit over a cold solver at
-  the same iteration count — the cold solver already reads 0% by 5
-  iterations on every tested family; the turbo speedup comes entirely
+  warm start adds no clean-BER benefit beyond sampling noise over a cold
+  solver at the same iteration count (largest observed gain: one bit of
+  120 at the 5-iteration point on one family; the cold solver reads
+  0-0.8% by 5 iterations everywhere) — the turbo speedup comes entirely
   from the reduced iteration count (see cards/turbo.yaml, which therefore
   cold-starts).  The warm start is kept for its unmeasured-tail value
   (it starts inside the detector's high-confidence basin) and as the
