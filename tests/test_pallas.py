@@ -251,3 +251,27 @@ class TestRoundtripKernels:
             jax.vmap(lambda a: detect_values(params, a))(res.audio)
         )
         assert np.mean((v > 0).astype(int) != bits) == 0.0
+
+    def test_long_clip_falls_back_to_slab(self):
+        """Clips past the VMEM-residency bound (~16 s, t_frames > 1024)
+        must route to the XLA slab path even with the kernel flag set —
+        a Mosaic compile failure on long inputs would be a service
+        outage."""
+        from aware_tpu.embed.solver import build_problem
+        from aware_tpu.models import init_params
+
+        cfg = AwareConfig().replace(use_pallas_roundtrip=True)
+        params = {k: jnp.asarray(v)
+                  for k, v in init_params(cfg.detection_net).items()}
+        long_clip = jnp.asarray(
+            np.sin(np.arange(20 * 16000) * 0.05).astype(np.float32)
+        )
+        wm = jnp.ones((20,), jnp.float32)
+        pb = build_problem(params, long_clip, wm, cfg)
+        jaxpr = jax.make_jaxpr(pb.objective)(pb.coeffs0)
+        assert "pallas" not in str(jaxpr).lower()
+        # and a short clip with the same config DOES use the kernels
+        short = long_clip[: 2 * 16000]
+        pb2 = build_problem(params, short, wm, cfg)
+        jaxpr2 = jax.make_jaxpr(pb2.objective)(pb2.coeffs0)
+        assert "pallas" in str(jaxpr2).lower()
