@@ -87,10 +87,13 @@ def cmd_detect(args) -> None:
             ],
         }, indent=2))
     elif args.robust:
-        bits, rate, conf = detect_watermark_robust(
+        res = detect_watermark_robust(
             audio, sr, detector, return_confidence=True
         )
-        print(f"bits: {''.join(map(str, bits))}  (rate {rate}, conf {conf:.3f})")
+        print(
+            f"bits: {''.join(map(str, res.bits))}  "
+            f"({res.kind} rate {res.rate}, conf {res.confidence:.3f})"
+        )
     else:
         bits = detect_watermark(audio, sr, detector)
         print("bits:", "".join(map(str, np.asarray(bits).astype(int))))

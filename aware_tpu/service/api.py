@@ -135,12 +135,28 @@ class AWAREDetector:
 
 
 def load(
-    card: str | None = None, **overrides: Any
+    card: str | None = None,
+    compile_cache: bool | str = True,
+    **overrides: Any,
 ) -> tuple[AWAREEmbedder, AWAREDetector]:
     """Build the (embedder, detector) pair from a config card.
 
     The two handles share one params pytree — the keyed net is the shared
     secret (reference: load_model.py:6-76).
+
+    On TPU, cards that do not pin ``matmul_precision: highest`` get the
+    fused single-pass-bf16 round-trip kernels (`use_pallas_roundtrip`) —
+    the fastest validated embed path.  Note this applies even to a card
+    that pins ``high`` (bf16x3): the round trip runs at bf16 while the
+    detector matmuls honor the declared precision.  Outcome-level evals
+    (loss/BER under the attack suite) back the bf16 round trip; pin
+    ``use_pallas_roundtrip: false`` in the card to opt out entirely.
+
+    ``compile_cache`` controls the persistent XLA/Mosaic compilation cache
+    set up for the expensive fused-kernel program (minutes of cold Mosaic
+    compile per clip length): ``True`` uses ``~/.cache/aware_tpu/jax``, a
+    string overrides the directory, ``False`` leaves the process-global
+    JAX cache configuration untouched.
     """
     card_keys: set = set()
     if card:
@@ -172,15 +188,26 @@ def load(
             and cfg.matmul_precision != "highest"
         )
         cfg = cfg.replace(use_pallas_roundtrip=on_tpu)
-        if on_tpu and jax.config.jax_compilation_cache_dir is None:
+        if (
+            on_tpu
+            and compile_cache
+            and jax.config.jax_compilation_cache_dir is None
+        ):
             # the fused-kernel program costs minutes of Mosaic compile per
             # clip length — persist it so only the first embed ever pays
             import os
 
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/aware_tpu/jax"),
+            cache_dir = (
+                compile_cache
+                if isinstance(compile_cache, str)
+                else os.path.expanduser("~/.cache/aware_tpu/jax")
             )
+            logger.info(
+                "enabling persistent JAX compilation cache at %s "
+                "(process-global; pass compile_cache=False to load() to "
+                "leave JAX cache config untouched)", cache_dir,
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 5
             )

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import fractions
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,20 @@ DEFAULT_STRETCH_RATES: tuple[float, ...] = (
 Hypothesis = tuple[str, float]  # ("resample" | "stretch", rate)
 
 
+class RobustDetection(typing.NamedTuple):
+    """Winning hypothesis of the compensation search.
+
+    ``kind`` names the family explicitly ("resample" | "stretch") instead
+    of encoding it in the sign of ``rate``, so the rate is always the
+    plain positive length multiplier callers can log or use numerically.
+    """
+
+    bits: "np.ndarray"
+    kind: str
+    rate: float
+    confidence: float
+
+
 def _rate_fraction(rate: float) -> fractions.Fraction:
     return fractions.Fraction(rate).limit_denominator(64)
 
@@ -86,7 +101,11 @@ def _compensate(x: jnp.ndarray, kind: str, rate: float) -> jnp.ndarray:
     raise ValueError(f"unknown compensation kind {kind!r}")
 
 
-@functools.lru_cache(maxsize=8)
+# maxsize covers the coarse grid plus one fine grid per coarse winner
+# (the winners come from the finite DEFAULT_RATES x refine-factor set), so
+# steady-state streams with varied winners never thrash the closure cache
+# (the underlying jit cache is global either way).
+@functools.lru_cache(maxsize=64)
 def _grid_fn(hypotheses: tuple[Hypothesis, ...], cfg):
     """Build the jitted all-hypotheses detect: waveform (L,) -> (H, bits).
 
@@ -164,9 +183,10 @@ def detect_watermark_robust(
     return_confidence: bool = False,
     refine: bool = True,
 ):
-    """Detect under unknown time-scaling; returns decoded bits (and the
-    winning (rate, confidence) when requested — rate is negative for a
-    vocoder-stretch winner so callers can tell the families apart).
+    """Detect under unknown time-scaling; returns decoded bits, or a
+    :class:`RobustDetection` ``(bits, kind, rate, confidence)`` when
+    ``return_confidence`` is set — the hypothesis family is named
+    explicitly, never encoded in the sign of the rate.
 
     A speed-changed clip is compensated by resampling; a vocoder-stretched
     clip by re-stretching (pitch-preserving).  The winner is the most
@@ -206,6 +226,5 @@ def detect_watermark_robust(
         best_values, detector.pattern_mode, detector.threshold
     )
     if return_confidence:
-        signed_rate = -best_rate if kind == "stretch" else best_rate
-        return bits, float(signed_rate), float(best_conf)
+        return RobustDetection(bits, kind, float(best_rate), float(best_conf))
     return bits

@@ -34,26 +34,46 @@ def test_recovers_bits_after_speed_change(watermarked, num, den):
     naive = np.asarray(detect_values(detector.params, jnp.asarray(sped)))
     naive_ber = float(np.mean((naive > 0).astype(int) != BITS)) * 100
 
-    bits, best_rate, conf = detect_watermark_robust(
+    res = detect_watermark_robust(
         sped, 16000, detector, rates=GRID, stretch_rates=(),
         return_confidence=True,
     )
-    ber = float(np.mean(bits != BITS)) * 100
-    assert ber == 0.0, f"robust BER {ber}% (picked {best_rate})"
+    ber = float(np.mean(res.bits != BITS)) * 100
+    assert ber == 0.0, f"robust BER {ber}% (picked {res.rate})"
     assert naive_ber > 20.0  # the attack really was destructive naively
     # winning rate compensates the speed change (inverse of num/den)
-    assert abs(best_rate - den / num) < 0.06
+    assert res.kind == "resample"
+    assert abs(res.rate - den / num) < 0.06
 
 
 @pytest.mark.slow
 def test_clean_clip_picks_unity(watermarked):
     wm, detector = watermarked
-    bits, best_rate, _ = detect_watermark_robust(
+    res = detect_watermark_robust(
         wm, 16000, detector, rates=GRID, stretch_rates=(),
         return_confidence=True,
     )
-    assert float(np.mean(bits != BITS)) == 0.0
-    assert abs(best_rate - 1.0) < 0.04
+    assert float(np.mean(res.bits != BITS)) == 0.0
+    assert abs(res.rate - 1.0) < 0.04
+
+
+@pytest.mark.slow
+def test_clean_clip_wins_identity_with_stretch_lanes(watermarked):
+    """With the default stretch lanes IN the grid (the shipped
+    configuration), a clean clip still decodes at 0 BER and the winner is
+    the identity resample lane — enabling the search never costs accuracy
+    on undesynced audio."""
+    from aware_tpu.service.robust import DEFAULT_STRETCH_RATES
+
+    wm, detector = watermarked
+    res = detect_watermark_robust(
+        wm, 16000, detector, rates=GRID,
+        stretch_rates=DEFAULT_STRETCH_RATES,
+        return_confidence=True,
+    )
+    assert float(np.mean(res.bits != BITS)) == 0.0
+    assert res.kind == "resample"
+    assert abs(res.rate - 1.0) < 0.04
 
 
 def test_masked_forward_equals_unpadded():
