@@ -1,0 +1,200 @@
+"""Real-chip regression tier: Mosaic kernels + fused paths + batch service.
+
+Everything here compiles to real Mosaic/XLA TPU programs — a chip-path
+regression (kernel numerics, VMEM blowup, lowering failure) fails THIS
+suite even though `pytest tests/` (CPU interpret mode) stays green.
+
+Timing note (CLAUDE.md): `jax.block_until_ready` is unreliable through
+the axon tunnel, so every check forces a host transfer via np.asarray.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aware_tpu.config import AwareConfig, in_band_bins
+
+CFG = AwareConfig()
+NET = CFG.detection_net
+LO, HI = in_band_bins(NET.sample_rate, NET.n_fft, CFG.embedding_bands)
+NB = HI - LO
+
+
+@pytest.fixture(scope="module")
+def params():
+    from aware_tpu.models import init_params
+
+    return {k: jnp.asarray(v) for k, v in init_params(NET).items()}
+
+
+# ------------------------------------------------------- detector kernel ---
+
+class TestDetectorKernelOnChip:
+    T = 126
+
+    @pytest.fixture(scope="class")
+    def consts(self, params):
+        from aware_tpu.ops.mel import mel_filter_bank
+        from aware_tpu.ops.pallas.detector import fused_detector_consts
+
+        basis = mel_filter_bank(NET.sample_rate, NET.n_fft, NET.n_mels)
+        return fused_detector_consts(params, basis, LO, HI, self.T)
+
+    @pytest.fixture(scope="class")
+    def cs(self, rng):
+        from aware_tpu.ops.pallas.detector import P_BAND
+
+        x = np.zeros((self.T, 2 * P_BAND), np.float32)
+        x[:, :NB] = rng.standard_normal((self.T, NB)) * 0.1
+        x[:, P_BAND : P_BAND + NB] = (
+            rng.standard_normal((self.T, NB)) * 0.1
+        )
+        return jnp.asarray(x)
+
+    def test_forward_matches_replica(self, cs, consts):
+        from aware_tpu.ops.pallas.detector import (
+            detector_fused,
+            detector_fused_reference,
+        )
+
+        got = np.asarray(jax.jit(detector_fused)(cs, consts))
+        want = np.asarray(detector_fused_reference(cs, consts))
+        # Mosaic MXU accumulation order differs from the XLA replica's;
+        # the tanh readout bounds it at ~1e-3 absolute on the chip
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        assert np.array_equal(np.sign(got), np.sign(want))
+
+    def test_vjp_matches_replica_autodiff(self, cs, consts, rng):
+        from aware_tpu.ops.pallas.detector import (
+            detector_fused,
+            detector_fused_reference,
+        )
+
+        g = jnp.asarray(rng.standard_normal(20).astype(np.float32))
+        dk = np.asarray(
+            jax.jit(
+                lambda c, gg: jax.vjp(
+                    lambda cc: detector_fused(cc, consts), c
+                )[1](gg)[0]
+            )(cs, g)
+        )
+        _, vr = jax.vjp(
+            lambda c: detector_fused_reference(c, consts), cs
+        )
+        dr = np.asarray(vr(g)[0])
+        scale = float(np.max(np.abs(dr)))
+        assert float(np.max(np.abs(dk - dr))) / scale < 0.05
+
+
+# ------------------------------------------------------ roundtrip kernels ---
+
+def test_roundtrip_kernels_on_chip(params, speechlike, rng):
+    """25-iteration kernel-path embed (roundtrip + detector kernels) on
+    the chip: 0 BER readback and loss parity with the XLA slab path."""
+    from aware_tpu.embed.solver import embed_one
+    from aware_tpu.models.detector import detect_values_jit
+
+    bits = np.random.default_rng(5).integers(0, 2, 20)
+    wm = jnp.asarray((2 * bits - 1).astype(np.float32))
+    clip = jnp.asarray(speechlike)
+    cfg_k = AwareConfig().replace(
+        use_pallas_roundtrip=True,
+        num_iterations=25,
+        matmul_precision="default",
+    )
+    cfg_s = AwareConfig().replace(
+        num_iterations=25, matmul_precision="default"
+    )
+    rk = embed_one(params, clip, wm, cfg_k)
+    rs = embed_one(params, clip, wm, cfg_s)
+    vk = np.asarray(detect_values_jit(params, rk.audio))
+    assert np.mean((vk > 0).astype(int) != bits) == 0.0
+    assert abs(float(rk.best_loss) - float(rs.best_loss)) < 0.02
+
+
+# --------------------------------------------------------- masked detect ---
+
+def test_masked_forward_equals_unpadded_on_chip(params, rng):
+    from aware_tpu.models.detector import (
+        detector_apply,
+        detector_apply_masked,
+        preprocess_magnitude,
+    )
+    from aware_tpu.ops.windows import get_window
+
+    w = get_window(CFG.window, CFG.win_length)
+    x = rng.standard_normal(16000).astype(np.float32)
+    mag = preprocess_magnitude(
+        jnp.asarray(x), NET.n_fft, CFG.hop_length, w, LO, HI
+    )
+    t = mag.shape[-1]
+    pad = 40
+    mp = jnp.pad(mag, ((0, 0), (0, pad)))
+    mask = jnp.concatenate([jnp.ones(t), jnp.zeros(pad)])
+    got = np.asarray(
+        jax.jit(detector_apply_masked, static_argnames=("cfg",))(
+            params, mp, mask, NET
+        )
+    )
+    want = np.asarray(
+        jax.jit(detector_apply, static_argnames=("cfg",))(params, mag, NET)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------ fused robust grid ---
+
+def test_fused_robust_grid_on_chip(params, speechlike):
+    """The multi-lane compensation grid (one dispatched program) recovers
+    a resample-desynced clip on the chip."""
+    from aware_tpu.embed.solver import embed_one
+    from aware_tpu.ops.resample import resample_poly
+    from aware_tpu.service.api import AWAREDetector
+    from aware_tpu.service.robust import detect_watermark_robust
+
+    bits = np.random.default_rng(7).integers(0, 2, 20)
+    wm = jnp.asarray((2 * bits - 1).astype(np.float32))
+    cfg = AwareConfig().replace(
+        use_pallas_roundtrip=True,
+        num_iterations=50,
+        matmul_precision="default",
+    )
+    res = embed_one(params, jnp.asarray(speechlike), wm, cfg)
+    sped = np.asarray(resample_poly(res.audio, 21, 20))
+    det = AWAREDetector(params=params, cfg=cfg)
+    out = detect_watermark_robust(
+        sped, 16000, det, rates=(0.9, 0.95, 1.0, 1.05, 1.1),
+        stretch_rates=(0.93,), return_confidence=True, refine=False,
+    )
+    assert float(np.mean(out.bits != bits)) == 0.0
+    assert out.kind == "resample"
+    assert abs(out.rate - 20 / 21) < 0.06
+
+
+# --------------------------------------------------------- batch service ---
+
+def test_batch_embed_service_on_chip(params, speechlike):
+    """embed_watermark_batch through the kernel path: every lane reads
+    back its own pattern at 0 BER."""
+    from aware_tpu.service.api import (
+        AWAREDetector,
+        AWAREEmbedder,
+        detect_watermark_batch,
+        embed_watermark_batch,
+    )
+
+    cfg = AwareConfig().replace(
+        use_pallas_roundtrip=True,
+        num_iterations=50,
+        matmul_precision="default",
+    )
+    model = AWAREEmbedder(params=params, cfg=cfg)
+    det = AWAREDetector(params=params, cfg=cfg)
+    rng = np.random.default_rng(9)
+    clips = np.stack([speechlike, np.roll(speechlike, 2000)])
+    bits = rng.integers(0, 2, (2, 20))
+    out = embed_watermark_batch(clips, 16000, bits, model)
+    detected = detect_watermark_batch(out, 16000, det)
+    assert np.mean(detected != bits) == 0.0

@@ -75,6 +75,12 @@ def main() -> None:
     ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--skip-turbo", action="store_true")
     ap.add_argument("--skip-amortized", action="store_true")
+    ap.add_argument("--our-embeds", default=None,
+                    help="PARITY_EMBEDS.npz from tools/parity_embed_batch.py "
+                         "(chip phase); skips the per-clip embed_one solves "
+                         "so the whole run needs no TPU — the multi-hour "
+                         "C-column soak can then share the box with chip "
+                         "work instead of holding the device lock")
     args = ap.parse_args()
 
     import jax
@@ -146,21 +152,43 @@ def main() -> None:
         "default": {}, "turbo": {}, "amortized": {},
     }
 
+    pre = None
+    if args.our_embeds:
+        pre = np.load(args.our_embeds)
+        assert pre["bits"].shape[0] >= n_clips, "precomputed set too small"
+
     for i in range(n_clips):
         clip = make_clip(i, args.seed)
         bits = rng.integers(0, 2, 20).astype(np.int32)
         wm = (2 * bits - 1).astype(np.float32)
+        if pre is not None:
+            assert np.array_equal(pre["bits"][i], bits), (
+                f"clip {i}: precomputed bit stream diverges — "
+                "regenerate PARITY_EMBEDS.npz with the same --seed"
+            )
 
         variants: list[tuple[str, np.ndarray, np.ndarray | None]] = []
         with_c = i < c_clips
-        ours = np.asarray(
-            embed_one(params, jnp.asarray(clip), jnp.asarray(wm), cfg).audio
+        ours = (
+            pre["default"][i]
+            if pre is not None
+            else np.asarray(
+                embed_one(
+                    params, jnp.asarray(clip), jnp.asarray(wm), cfg
+                ).audio
+            )
         )
         theirs = oracle_embed(oracle, clip, wm) if with_c else None
         variants.append(("default", ours, theirs))
         if turbo_cfg is not None:
-            ours_t = np.asarray(
-                embed_one(params, jnp.asarray(clip), jnp.asarray(wm), turbo_cfg).audio
+            ours_t = (
+                pre["turbo"][i]
+                if pre is not None and "turbo" in pre
+                else np.asarray(
+                    embed_one(
+                        params, jnp.asarray(clip), jnp.asarray(wm), turbo_cfg
+                    ).audio
+                )
             )
             theirs_t = (
                 oracle_embed(
@@ -230,7 +258,13 @@ def main() -> None:
         f"A/B detector-parity surface; the C (solver-parity) column embeds",
         f"with the torch reference loop on {c_clips} of those clips"
         f" = {c_clips * 20} bits/row, and |A−C| is computed on that matched",
-        f"subset.  Our embeds/detects on {args.device}, torch oracle on CPU.",
+        f"subset.  Our embeds/detects on {args.device}, torch oracle on CPU."
+        + (
+            "  Our embeds are the batched kernel-path chip solver"
+            " (tools/parity_embed_batch.py)."
+            if args.our_embeds
+            else ""
+        ),
         "",
         "- **A**: aware_tpu embed → aware_tpu detect",
         "- **B**: aware_tpu embed → torch-oracle detect "

@@ -34,10 +34,22 @@ def main() -> None:
     ap.add_argument("--batches", type=int, nargs="+", default=[16, 64, 128])
     ap.add_argument("--iters", type=int, nargs=2, default=[50, 150])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--pallas-roundtrip", action="store_true",
+                    help="fused round-trip kernels (the bench flagship path)")
+    ap.add_argument("--no-pallas-detector", action="store_true",
+                    help="keep the XLA detector next to the kernel round trip")
+    ap.add_argument("--out", default="PERF_PROBE.json")
     args = ap.parse_args()
     n1, n2 = args.iters
 
     import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(ROOT / ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
 
     from bench import make_clips
@@ -47,7 +59,12 @@ def main() -> None:
     from aware_tpu.models.detector import detect_values
     from aware_tpu.ops.resample import resample_poly
 
-    base = AwareConfig().replace(matmul_precision="default", scan_unroll=2)
+    base = AwareConfig().replace(
+        matmul_precision="default",
+        scan_unroll=2,
+        use_pallas_roundtrip=args.pallas_roundtrip,
+        use_pallas_detector=not args.no_pallas_detector,
+    )
     params = {k: jnp.asarray(v) for k, v in init_params(base.detection_net).items()}
 
     def build(cfg):
@@ -98,7 +115,7 @@ def main() -> None:
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
 
-    out = ROOT / "PERF_PROBE.json"
+    out = ROOT / args.out
     out.write_text(json.dumps(rows, indent=2) + "\n")
     print(json.dumps(rows))
 

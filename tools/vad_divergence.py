@@ -48,38 +48,76 @@ def _paused_speech(seed: int) -> np.ndarray:
 
 
 def build_corpus() -> list[tuple[str, np.ndarray, bool]]:
-    """(category, clip, contains_speech) triples."""
+    """(category, clip, contains_speech) triples — ~130 clips spanning
+    the decision space (speech families x levels x noise, pauses, babble,
+    plus the classic webrtcvad traps: loud noise, tones, chords, clicks,
+    music-like material)."""
+    from aware_tpu.train.distill import diverse_clip
+
     rng = np.random.default_rng(0)
     t = np.arange(2 * SR) / SR
     corpus: list[tuple[str, np.ndarray, bool]] = []
-    for i in range(6):
+    for i in range(12):
         corpus.append((f"speech_{i}", synthesize_speech_clip(i), True))
         corpus.append((f"paused_speech_{i}", _paused_speech(50 + i), True))
-    for level_db in (-30.0, -40.0):
+    for i in range(16):  # 4 generator families x 4 seeds
+        corpus.append((f"diverse_{i % 4}_{i}", diverse_clip(200 + i), True))
+    for level_db in (-20.0, -30.0, -36.0, -40.0):
         g = 10 ** (level_db / 20)
+        for s in range(3):
+            corpus.append(
+                (f"quiet_speech_{int(-level_db)}dB_{s}",
+                 synthesize_speech_clip(7 + s) * g, True)
+            )
+    for snr_db in (20.0, 10.0, 5.0, 0.0):
+        for s in range(3):
+            x = synthesize_speech_clip(30 + s)
+            n = rng.standard_normal(len(x)).astype(np.float32)
+            n *= np.sqrt(np.mean(x**2) / 10 ** (snr_db / 10)) / np.std(n)
+            corpus.append((f"speech_noise_{int(snr_db)}dB_{s}", x + n, True))
+    # babble: sum of desynchronized speech generators (still speech-true)
+    for s in range(4):
+        b = sum(synthesize_speech_clip(60 + s * 7 + k) for k in range(4))
         corpus.append(
-            (f"quiet_speech_{int(-level_db)}dB",
-             synthesize_speech_clip(7) * g, True)
+            (f"babble_{s}", (b / np.abs(b).max()).astype(np.float32), True)
         )
-    for snr_db in (20.0, 5.0):
-        x = synthesize_speech_clip(8)
-        n = rng.standard_normal(len(x)).astype(np.float32)
-        n *= np.sqrt(np.mean(x**2) / 10 ** (snr_db / 10)) / np.std(n)
-        corpus.append((f"speech_noise_{int(snr_db)}dB", x + n, True))
     corpus.append(("silence", np.zeros(2 * SR, np.float32), False))
-    for level_db in (-60.0, -20.0, -6.0):
+    for level_db in (-70.0, -60.0, -40.0, -20.0, -6.0):
         g = 10 ** (level_db / 20)
         corpus.append(
             (f"white_noise_{int(-level_db)}dB",
              (g * rng.standard_normal(2 * SR)).astype(np.float32), False)
         )
-    for f in (440.0, 1000.0, 3000.0):
+        # pink-ish noise (1/f) — closer to room noise than white
+        w = np.fft.rfft(rng.standard_normal(2 * SR))
+        f = np.maximum(np.fft.rfftfreq(2 * SR, 1 / SR), 1.0)
+        p = np.fft.irfft(w / np.sqrt(f), 2 * SR).astype(np.float32)
+        p = p / np.abs(p).max() * g
+        corpus.append((f"pink_noise_{int(-level_db)}dB", p, False))
+    for f in (120.0, 440.0, 1000.0, 3000.0, 6000.0):
         corpus.append(
             (f"tone_{int(f)}Hz",
              (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32), False)
         )
+    # AM tone + vibrato tone (modulated but not speech)
+    am = (0.5 * np.sin(2 * np.pi * 800 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t)))
+    corpus.append(("am_tone", am.astype(np.float32), False))
+    vib = 0.5 * np.sin(2 * np.pi * (600 * t + 20 * np.sin(2 * np.pi * 5 * t)))
+    corpus.append(("vibrato_tone", vib.astype(np.float32), False))
     chord = sum(np.sin(2 * np.pi * f * t) for f in (262.0, 330.0, 392.0))
     corpus.append(("chord", (chord / np.abs(chord).max()).astype(np.float32), False))
+    # arpeggio "music": sequential sine notes with decay envelopes
+    notes = np.zeros(2 * SR, np.float32)
+    for k, f in enumerate((262.0, 330.0, 392.0, 523.0) * 2):
+        s0 = k * SR // 4
+        seg = np.arange(SR // 4) / SR
+        notes[s0 : s0 + SR // 4] = (
+            np.sin(2 * np.pi * f * seg) * np.exp(-6 * seg)
+        )
+    corpus.append(("arpeggio", notes, False))
+    # DTMF digit (dual tones)
+    dtmf = 0.4 * (np.sin(2 * np.pi * 770 * t) + np.sin(2 * np.pi * 1336 * t))
+    corpus.append(("dtmf", dtmf.astype(np.float32), False))
     clicks = np.zeros(2 * SR, np.float32)
     clicks[:: SR // 4] = 1.0
     corpus.append(("clicks", clicks, False))
