@@ -90,6 +90,18 @@ class AwareConfig:
 
     verbose: bool = False
 
+    # Silence gate implementation for the service layer (reference gate:
+    # src/AWARE/utils/audio/waveform.py:22-46, webrtcvad aggressiveness 3):
+    #   "spectral"    — vmappable JAX energy/band/ZCR gate (ops/vad.py);
+    #                   rejects loud stationary noise and pure tones that
+    #                   webrtcvad famously passes (documented improvement).
+    #   "webrtc_gmm"  — the reference-faithful WebRTC-architecture GMM
+    #                   classifier from the C++ runtime (_native); pick
+    #                   this when edge-clip gating must match the
+    #                   reference's webrtcvad decisions (VAD_DIVERGENCE
+    #                   quantifies where the two disagree).
+    vad: str = "spectral"
+
     detection_net: DetectorNetConfig = dataclasses.field(
         default_factory=DetectorNetConfig
     )
@@ -115,6 +127,14 @@ class AwareConfig:
     # Run the slab round trip as fused Pallas kernels (custom VJP; VMEM-
     # resident; requires use_slab_dft and the 1024/256 frame geometry).
     use_pallas_roundtrip: bool = False
+    # With the kernel round trip active, also run the solver's detector
+    # forward/backward as fused Pallas kernels (VMEM-resident per clip,
+    # batch -> kernel grid) — removes the XLA detector half's HBM
+    # intermediates, whose VMEM pressure made batches >=32 SLOWER per clip
+    # (the round-2 batch cliff, docs/PERF_NOTES.md).  Only takes effect on
+    # the default detector architecture; no effect unless
+    # use_pallas_roundtrip is active.
+    use_pallas_detector: bool = True
     # Slab decomposition of the round trip (requires use_matmul_dft and
     # hop | n_fft): both DFT matmuls split into n_fft/hop hop-wide slabs
     # with shifted row-adds, so no (T, n_fft) frames tensor is ever
@@ -130,10 +150,19 @@ class AwareConfig:
     # reference solver sees only the clean view).
     eot_stretch_rates: Any = ()
     eot_weight: float = 1.0
+    # How the EOT views enter the objective: "all" sums every view each
+    # iteration (cost ~ 1 + n_views per iteration); "cycle" rotates one
+    # view per iteration via lax.switch (cost ~ 2x base regardless of the
+    # rate count), so a much DENSER rate set covers the desync range for
+    # the price the 4-view "all" card paid — each rate still gets
+    # num_iterations/n_views gradient visits.
+    eot_mode: str = "all"
 
     def __post_init__(self) -> None:
         if self.window not in ("hann", "hamming"):
             raise ValueError(f"Invalid window type: {self.window}")
+        if self.vad not in ("spectral", "webrtc_gmm"):
+            raise ValueError(f"Invalid vad gate: {self.vad}")
         for field in ("optimizer_params", "scheduler_params",
                       "embedding_bands", "eot_stretch_rates"):
             value = getattr(self, field)
@@ -166,7 +195,8 @@ class AwareConfig:
             "num_iterations", "loss", "verbose", "threshold",
             "matmul_precision", "dtype", "scan_unroll",
             "use_matmul_dft", "use_pallas_ola", "use_slab_dft",
-            "use_pallas_roundtrip", "eot_weight",
+            "use_pallas_roundtrip", "use_pallas_detector", "eot_weight",
+            "eot_mode", "vad",
         }
         for key in simple & set(card):
             kwargs[key] = card[key]

@@ -141,6 +141,11 @@ def build_problem(
 
     prec = _precision(cfg.matmul_precision)
 
+    # set on the kernel path when the fused Pallas detector serves the
+    # solver's per-iteration forward/backward (ops/pallas/detector.py);
+    # None -> the XLA banded detector
+    fused_det = None
+
     # EOT robust views: per-iteration loss terms on vocoder-stretched
     # candidates, so the optimized coefficients survive desync edits by
     # construction.  Differentiable end-to-end (the vocoder's magnitude
@@ -149,16 +154,37 @@ def build_problem(
     if eot_rates:
         from aware_tpu.attacks.vocoder import time_stretch
 
-        def eot_loss(y):
-            tot = 0.0
-            for r in eot_rates:
-                yr = time_stretch(y, r)
-                m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))
-                pred = detector_apply_banded(
-                    params, m2[lo:hi], lo, hi, net_cfg, cfg.matmul_precision
-                )
-                tot = tot + loss_fn(pred, wm)
-            return tot / len(eot_rates)
+        def _view_loss(y, r):
+            yr = time_stretch(y, r)
+            m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))
+            pred = detector_apply_banded(
+                params, m2[lo:hi], lo, hi, net_cfg, cfg.matmul_precision
+            )
+            return loss_fn(pred, wm)
+
+        if cfg.eot_mode == "cycle":
+            # one stretch view per iteration, rotating through the rate
+            # set (lax.switch keeps every branch's shapes static) — cost
+            # ~2x base per iteration regardless of how dense the rate set
+            # is, vs 1+n_views for "all"; over num_iterations each rate
+            # still gets num_iterations/n_views gradient visits
+            branches = [
+                (lambda y, _r=r: _view_loss(y, _r)) for r in eot_rates
+            ]
+
+            def eot_loss(y, it):
+                return jax.lax.switch(it % len(eot_rates), branches, y)
+
+        elif cfg.eot_mode == "all":
+
+            def eot_loss(y, it):
+                tot = 0.0
+                for r in eot_rates:
+                    tot = tot + _view_loss(y, r)
+                return tot / len(eot_rates)
+
+        else:
+            raise ValueError(f"unknown eot_mode {cfg.eot_mode!r}")
     else:
         eot_loss = None
 
@@ -227,19 +253,22 @@ def build_problem(
             )
             half = n_fft // 2
 
-            pallas_ok = (
+            pallas_geom = (
                 cfg.use_pallas_roundtrip
                 and half == 2 * hop
                 and hop % 128 == 0
-                # the kernels are whole-clip VMEM-resident (~8 KB/frame +
-                # ~2.5 MB fixed of the ~16 MB core); past this the XLA
-                # slab path takes over rather than failing Mosaic compile
-                and mag.shape[-1] <= 1024
                 # honor an explicit maximal-precision request — the
                 # kernels are single-pass bf16 by construction
                 and cfg.matmul_precision != "highest"
             )
-            if pallas_ok:
+            # the whole-clip kernels are VMEM-resident (~8 KB/frame +
+            # ~2.5 MB fixed of the ~16 MB core); past 1024 frames the
+            # TIME-TILED kernels (ops/pallas/roundtrip_tiled.py) take over
+            # — same math gridded over 256-frame halo'd tiles — so the
+            # kernel path serves arbitrarily long clips
+            pallas_ok = pallas_geom and mag.shape[-1] <= 1024
+            pallas_tiled = pallas_geom and mag.shape[-1] > 1024
+            if pallas_ok or pallas_tiled:
                 from aware_tpu.ops.pallas.roundtrip import (
                     band_analysis,
                     edge_corrections,
@@ -249,43 +278,92 @@ def build_problem(
                 # band dim padded to a lane multiple; Re block at [0, P),
                 # Im block at [P, 2P) in both bases and cs2 columns
                 P = -(-nb // 128) * 128
-                csin = jnp.zeros((t_frames, 2 * P), jnp.float32)
-                csin = csin.at[:, :nb].set(cos_in.T).at[:, P : P + nb].set(
-                    sin_in.T
-                )
                 # built from the HOST-side basis arrays (A/Bm/C/S/wvec are
                 # numpy): build_problem traces under jit, so jnp constants
                 # cannot round-trip through np.asarray here
                 ab_np = np.zeros((2 * P, n_fft), np.float32)
                 ab_np[:nb] = (A * wvec[None, :])[lo:hi]
                 ab_np[P : P + nb] = (Bm * wvec[None, :])[lo:hi]
-                ab = jnp.asarray(ab_np, jnp.bfloat16)
-                abt = jnp.asarray(ab_np.T.copy(), jnp.bfloat16)
                 csw_np = np.zeros((n_fft, 2 * P), np.float32)
                 csw_np[:, :nb] = C[:, lo:hi] * wvec[:, None]
                 csw_np[:, P : P + nb] = S[:, lo:hi] * wvec[:, None]
-                csw = jnp.asarray(csw_np, jnp.bfloat16)
-                cswt = jnp.asarray(csw_np.T.copy(), jnp.bfloat16)
                 csw_k_f32 = [
                     jnp.asarray(csw_np[k * hop : (k + 1) * hop])
                     for k in range(r)
                 ]
+                if pallas_ok:
+                    csin = jnp.zeros((t_frames, 2 * P), jnp.float32)
+                    csin = csin.at[:, :nb].set(cos_in.T)
+                    csin = csin.at[:, P : P + nb].set(sin_in.T)
+                    ab = jnp.asarray(ab_np, jnp.bfloat16)
+                    abt = jnp.asarray(ab_np.T.copy(), jnp.bfloat16)
+                    csw = jnp.asarray(csw_np, jnp.bfloat16)
+                    cswt = jnp.asarray(csw_np.T.copy(), jnp.bfloat16)
+                else:  # time-tiled long-clip kernels
+                    from aware_tpu.ops.pallas.roundtrip_tiled import (
+                        band_analysis_tiled,
+                        build_tiled_bases,
+                        make_csinp,
+                        synth_norm_tiled,
+                    )
+
+                    tb = build_tiled_bases(ab_np, csw_np)
+                    csinp = make_csinp(cos_in, sin_in, P)
+
+                from aware_tpu.ops.mel import mel_filter_bank
+                from aware_tpu.ops.pallas.detector import (
+                    P_BAND,
+                    detector_fused,
+                    fused_detector_consts,
+                    fused_detector_supported,
+                )
+
+                if (
+                    pallas_ok
+                    and cfg.use_pallas_detector
+                    and P == P_BAND
+                    and fused_detector_supported(net_cfg, nb, t_frames)
+                ):
+                    det_consts = fused_detector_consts(
+                        params,
+                        mel_filter_bank(
+                            net_cfg.sample_rate, n_fft, net_cfg.n_mels
+                        ),
+                        lo,
+                        hi,
+                        t_frames,
+                    )
+
+                    def fused_det(cs2):
+                        return detector_fused(cs2, det_consts)
 
                 def roundtrip(coeffs):
                     ct = jnp.zeros((t_frames, P), coeffs.dtype)
                     ct = ct.at[:, :nb].set(coeffs.T)
-                    y2r = synth_norm(ct, csin, y_const2d, env, ab, abt)
-                    cs2 = band_analysis(y2r, csw, cswt)
+                    if pallas_ok:
+                        y2r = synth_norm(ct, csin, y_const2d, env, ab, abt)
+                        cs2 = band_analysis(y2r, csw, cswt)
+                    else:  # tiled long-clip kernels
+                        y2r = synth_norm_tiled(
+                            ct, csinp, y_const2d, env, tb["w_sf"], tb["w_sb"]
+                        )
+                        cs2 = band_analysis_tiled(
+                            y2r, tb["w_af"], tb["w_ab"]
+                        )
                     yf = y2r.reshape(-1)
                     cs2 = cs2 + edge_corrections(
                         yf, csw_k_f32, n_fft, hop, t_frames
                     )
+                    if fused_det is not None:
+                        # the fused detector consumes Re/Im directly (the
+                        # magnitude and its sgn(0)=0 gradient live in-kernel)
+                        return cs2, yf
                     m2_in = safe_magnitude(
                         cs2[:, :nb], cs2[:, P : P + nb]
                     ).T
                     return m2_in, yf
 
-            if not pallas_ok:
+            if not (pallas_ok or pallas_tiled):
                 AB_k = [AB_in[:, k * hop : (k + 1) * hop] for k in range(r)]
                 wcol = jnp.asarray(window.astype(np.float32))[:, None]
                 CSw = jnp.asarray(CS_in) * wcol
@@ -349,22 +427,26 @@ def build_problem(
                 m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
                 return m2_in, y2
 
-        def objective(coeffs):
+        def objective(coeffs, it=0):
             m2_in, y2 = roundtrip(coeffs)
-            # banded detector entry: identical to band-zeroing the full
-            # magnitude (out-of-band rows contribute nothing to mel), but
-            # skips the (F-nb, T) zero materialization each iteration
-            pred = detector_apply_banded(
-                params, m2_in, lo, hi, net_cfg, cfg.matmul_precision
-            )
+            if fused_det is not None:
+                pred = fused_det(m2_in)  # m2_in is the (T, 2P) Re/Im here
+            else:
+                # banded detector entry: identical to band-zeroing the full
+                # magnitude (out-of-band rows contribute nothing to mel),
+                # but skips the (F-nb, T) zero materialization each
+                # iteration
+                pred = detector_apply_banded(
+                    params, m2_in, lo, hi, net_cfg, cfg.matmul_precision
+                )
             loss = loss_fn(pred, wm)
             if eot_loss is not None:
-                loss = loss + cfg.eot_weight * eot_loss(y2)
+                loss = loss + cfg.eot_weight * eot_loss(y2, it)
             return loss
 
     else:
 
-        def objective(coeffs):
+        def objective(coeffs, it=0):
             m = _band_concat(mag, coeffs, lo, hi)
             # Full ISTFT->STFT round trip, differentiated through
             # (reference :49-67: post pipeline ends and pre pipeline starts
@@ -377,7 +459,7 @@ def build_problem(
             pred = detector_apply(params, m2, net_cfg, cfg.matmul_precision)
             loss = loss_fn(pred, wm)
             if eot_loss is not None:
-                loss = loss + cfg.eot_weight * eot_loss(y_norm)
+                loss = loss + cfg.eot_weight * eot_loss(y_norm, it)
             return loss
 
     return EmbedProblem(objective, coeffs0, lower, upper, mag, phase, lo, hi)
@@ -423,9 +505,9 @@ def embed_core(
     sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
     grad_fn = jax.value_and_grad(pb.objective)
 
-    def body(carry, _):
+    def body(carry, it):
         coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
-        loss, g = grad_fn(coeffs)
+        loss, g = grad_fn(coeffs, it)
         lr = sched_state["lr"]  # lr from *before* this step's scheduler tick
         new_coeffs, opt_state = opt.update(g, opt_state, coeffs, lr)
         sched_state = sched.step(sched_state, loss)
@@ -448,7 +530,10 @@ def embed_core(
         start,
     )
     (coeffs, _, _, best_loss, best_coeffs), losses = jax.lax.scan(
-        body, init, None, length=cfg.num_iterations, unroll=cfg.scan_unroll
+        body,
+        init,
+        jnp.arange(cfg.num_iterations, dtype=jnp.int32),
+        unroll=cfg.scan_unroll,
     )
 
     out = _reconstruct(pb, best_coeffs, cfg)
@@ -493,8 +578,11 @@ def embed_lbfgs(
 
     mem = LBFGSMemory(history_size=history)
     best_loss, best, last_loss = np.inf, x.copy(), np.inf
-    for _ in range(cfg.num_iterations):
-        loss_j, g = vag(jnp.asarray(x.reshape(nb, t_frames)))
+    for it in range(cfg.num_iterations):
+        loss_j, g = vag(
+            jnp.asarray(x.reshape(nb, t_frames)),
+            jnp.asarray(it, jnp.int32),
+        )
         loss = float(loss_j)
         g = np.asarray(g, np.float32).ravel()
         lr = float(sched_state["lr"])  # lr from before this step's tick

@@ -224,6 +224,20 @@ def load(
 # Service functions
 # ---------------------------------------------------------------------------
 
+def _gate_silent(audio: np.ndarray, sample_rate: int, cfg: AwareConfig) -> bool:
+    """Service silence gate, selected by ``cfg.vad``.
+
+    "spectral" is the JAX gate (default); "webrtc_gmm" is the C++
+    reference-faithful WebRTC-architecture classifier
+    (reference gate: src/AWARE/utils/audio/waveform.py:22-46).
+    """
+    if cfg.vad == "webrtc_gmm":
+        from aware_tpu.native import vad_gmm_is_silent
+
+        return vad_gmm_is_silent(np.asarray(audio, np.float32), sample_rate)
+    return bool(is_silent(audio, sample_rate))
+
+
 def _as_float_mono(audio: np.ndarray) -> np.ndarray:
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2 and audio.shape[1] == 1:
@@ -264,8 +278,8 @@ def embed_watermark(
     if audio.ndim == 2 and audio.shape[1] == 2:  # stereo
         left, right = audio[:, 0], audio[:, 1]
         left_mx, right_mx = np.max(left), np.max(right)  # signed-max quirk
-        silent_l = is_silent(left, sample_rate)
-        silent_r = is_silent(right, sample_rate)
+        silent_l = _gate_silent(left, sample_rate, model.cfg)
+        silent_r = _gate_silent(right, sample_rate, model.cfg)
         if silent_l and silent_r:
             raise ValueError(
                 "Signal you provided doesn't contain any speech. "
@@ -277,7 +291,7 @@ def embed_watermark(
 
     if audio.ndim == 1 or (audio.ndim == 2 and audio.shape[1] == 1):  # mono
         mono = _as_float_mono(audio)
-        if is_silent(mono, sample_rate):
+        if _gate_silent(mono, sample_rate, model.cfg):
             raise ValueError(
                 "Signal you provided doesn't contain any speech. "
                 "Please provide signal that contains speech."
@@ -363,7 +377,12 @@ def embed_watermark_batch(
         )
     silent = np.zeros(audios.shape[0], bool)
     if check_silence:
-        silent = np.asarray(is_silent(audios, model_sr))
+        if model.cfg.vad == "webrtc_gmm":
+            silent = np.asarray(
+                [_gate_silent(a, model_sr, model.cfg) for a in audios]
+            )
+        else:
+            silent = np.asarray(is_silent(audios, model_sr))
         if silent.any() and on_silent == "raise":
             raise ValueError(
                 f"Clips {np.where(silent)[0].tolist()} contain no speech."

@@ -79,6 +79,50 @@ def test_eot_objective_gradient_finite_on_pause_clip(fast_path):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_eot_cycle_mode_objective(speechlike):
+    """"cycle" rotates ONE stretch view per iteration via lax.switch: the
+    objective value at iteration i equals base loss + weight * the i-th
+    rate's view loss (vs "all" averaging every view)."""
+    rates = (0.9, 1.1)
+    base = AwareConfig(num_iterations=4)
+    cyc = base.replace(eot_stretch_rates=rates, eot_mode="cycle")
+    al = base.replace(eot_stretch_rates=rates, eot_mode="all")
+    params = init_params(base.detection_net)
+    x = jnp.asarray(speechlike)
+    wm = jnp.asarray(WM)
+    pb_b = build_problem(params, x, wm, base)
+    pb_c = build_problem(params, x, wm, cyc)
+    pb_a = build_problem(params, x, wm, al)
+    c = pb_b.coeffs0
+    l_b = float(pb_b.objective(c))
+    l0 = float(pb_c.objective(c, jnp.int32(0)))
+    l1 = float(pb_c.objective(c, jnp.int32(1)))
+    l2 = float(pb_c.objective(c, jnp.int32(2)))
+    l_all = float(pb_a.objective(c))
+    assert abs(l0 - l2) < 1e-6          # cycle wraps: it=2 -> rate 0
+    assert abs(l0 - l1) > 1e-5          # distinct rates, distinct losses
+    # "all" is the mean of the per-rate views (after removing base loss)
+    np.testing.assert_allclose(
+        l_all - l_b, np.mean([l0 - l_b, l1 - l_b]), rtol=1e-4
+    )
+
+
+def test_eot_cycle_embed_runs(speechlike):
+    """The scan solver threads the iteration index through lax.switch and
+    still solves (clean read exact at a small budget)."""
+    from aware_tpu.models import detect_values
+
+    cfg = AwareConfig(
+        num_iterations=30,
+        eot_stretch_rates=(0.9, 1.0, 1.1),
+        eot_mode="cycle",
+    )
+    params = init_params(cfg.detection_net)
+    res = embed_core(params, jnp.asarray(speechlike), jnp.asarray(WM), cfg)
+    v = np.asarray(detect_values(params, res.audio))
+    assert float(np.mean((v > 0).astype(int) != BITS)) == 0.0
+
+
 @pytest.mark.slow
 def test_eot_embed_improves_stretch_ber(speechlike):
     """EOT-embedded marks read through a vocoder stretch markedly better

@@ -252,11 +252,11 @@ class TestRoundtripKernels:
         )
         assert np.mean((v > 0).astype(int) != bits) == 0.0
 
-    def test_long_clip_falls_back_to_slab(self):
-        """Clips past the VMEM-residency bound (~16 s, t_frames > 1024)
-        must route to the XLA slab path even with the kernel flag set —
-        a Mosaic compile failure on long inputs would be a service
-        outage."""
+    def test_long_clip_routes_to_tiled_kernels(self):
+        """Clips past the whole-clip VMEM bound (~16 s, t_frames > 1024)
+        now route to the TIME-TILED kernels (roundtrip_tiled) instead of
+        falling back to XLA — and an explicit 'highest' precision pin
+        still keeps the all-f32 XLA slab path (the kernels are bf16)."""
         from aware_tpu.embed.solver import build_problem
         from aware_tpu.models import init_params
 
@@ -268,10 +268,16 @@ class TestRoundtripKernels:
         )
         wm = jnp.ones((20,), jnp.float32)
         pb = build_problem(params, long_clip, wm, cfg)
-        jaxpr = jax.make_jaxpr(pb.objective)(pb.coeffs0)
-        assert "pallas" not in str(jaxpr).lower()
-        # and a short clip with the same config DOES use the kernels
+        jaxpr = str(jax.make_jaxpr(pb.objective)(pb.coeffs0)).lower()
+        assert "pallas" in jaxpr  # tiled round trip active
+        # the fused DETECTOR stays bounded at 1024 frames (VMEM) — the
+        # long-clip objective uses the XLA banded detector
+        assert jaxpr.count("pallas_call") == 2
+        # a short clip with the same config uses the whole-clip kernels
         short = long_clip[: 2 * 16000]
         pb2 = build_problem(params, short, wm, cfg)
-        jaxpr2 = jax.make_jaxpr(pb2.objective)(pb2.coeffs0)
-        assert "pallas" in str(jaxpr2).lower()
+        assert "pallas" in str(jax.make_jaxpr(pb2.objective)(pb2.coeffs0)).lower()
+        # explicit maximal precision opts out of every bf16 kernel
+        hi = cfg.replace(matmul_precision="highest")
+        pb3 = build_problem(params, long_clip, wm, hi)
+        assert "pallas" not in str(jax.make_jaxpr(pb3.objective)(pb3.coeffs0)).lower()

@@ -93,6 +93,31 @@ def test_batch_service(model, speechlike):
     assert detected.shape == (2, 20)
 
 
+def test_vad_card_flag_selects_gate(speechlike):
+    """cfg.vad routes the service silence gate: "webrtc_gmm" uses the C++
+    reference-faithful classifier, which (by webrtcvad's documented
+    behavior) PASSES loud white noise that the spectral gate rejects —
+    the two gates are observably different through the service config."""
+    from aware_tpu.config import AwareConfig
+    from aware_tpu.native import native_available
+    from aware_tpu.service.api import _gate_silent
+
+    if not native_available():
+        pytest.skip("native library not built")
+    spec_cfg = AwareConfig()
+    gmm_cfg = AwareConfig().replace(vad="webrtc_gmm")
+    assert not _gate_silent(speechlike, 16000, spec_cfg)
+    assert not _gate_silent(speechlike, 16000, gmm_cfg)
+    noise = (
+        np.random.default_rng(3).standard_normal(16000).astype(np.float32)
+        * 0.5
+    )
+    assert _gate_silent(noise, 16000, spec_cfg)       # spectral rejects
+    assert not _gate_silent(noise, 16000, gmm_cfg)    # webrtcvad passes
+    with pytest.raises(ValueError, match="Invalid vad gate"):
+        AwareConfig(vad="nope")
+
+
 def test_vad_gate_semantics(speechlike, rng):
     assert not is_silent(speechlike, 16000)
     assert is_silent(np.zeros(16000, np.float32), 16000)
