@@ -31,6 +31,13 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(ROOT / ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
 
     from bench import make_clips
@@ -40,7 +47,11 @@ def main() -> None:
     from aware_tpu.models.detector import detect_values
     from aware_tpu.ops.resample import resample_poly
 
-    cfg = AwareConfig().replace(matmul_precision="default", scan_unroll=2)
+    # the bench.py flagship configuration: kernel round trip + fused
+    # detector (single-pass bf16 MXU)
+    cfg = AwareConfig().replace(
+        matmul_precision="default", scan_unroll=2, use_pallas_roundtrip=True
+    )
     params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
 
     rows = []
