@@ -59,10 +59,64 @@ class AmortizedEmbedderConfig:
     # magnitude-only net cannot represent the solver's mapping — the
     # round-1 distillation negative result (docs/NEXT_ROUND_NOTES.md).
     phase_conditioned: bool = False
+    # "mlp": per-frame 1x1 mixing + depthwise temporal convs (rounds 1-2);
+    # "unet": time-downsampled encoder/decoder with skip connections —
+    # the round-3 capacity direction for one-shot quality (the mlp's
+    # receptive field is ~hidden*temporal_kernel frames; the solver shapes
+    # patterns across the whole clip, which the U-Net's T/2^L bottleneck
+    # can see).
+    arch: str = "mlp"
+    unet_channels: tuple[int, ...] = (96, 192, 384)
+    unet_kernel: int = 5
     seed: int = 77
 
     def feature_dim(self, n_band: int, n_bits: int) -> int:
         return (3 if self.phase_conditioned else 1) * n_band + n_bits
+
+
+def _xavier_conv(rng, o: int, i: int, k: int) -> jnp.ndarray:
+    bound = float(np.sqrt(6.0 / (i * k + o * k)))
+    return jax.random.uniform(rng, (o, i, k), jnp.float32, -bound, bound)
+
+
+def init_unet_params(
+    ecfg: AmortizedEmbedderConfig, n_band: int, n_bits: int
+) -> dict[str, jnp.ndarray]:
+    """Time-downsampled U-Net over the (features, T) plane.
+
+    stem conv -> L levels of stride-2 encoder convs -> bottleneck conv ->
+    L decoder levels (nearest x2 upsample -> conv -> skip concat -> 1x1
+    merge) -> 1x1 head to n_band.  All convs k=unet_kernel same-padded,
+    xavier init, gelu; the "u_" key prefix marks the bundle's arch for
+    apply-time dispatch (old mlp npz bundles keep working).
+    """
+    rng = jax.random.PRNGKey(ecfg.seed)
+    ch = ecfg.unet_channels
+    k = ecfg.unet_kernel
+    cin = ecfg.feature_dim(n_band, n_bits)
+    params: dict[str, jnp.ndarray] = {}
+
+    def take():
+        nonlocal rng
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    params["u_stem_w"] = _xavier_conv(take(), ch[0], cin, k)
+    params["u_stem_b"] = jnp.zeros((ch[0],), jnp.float32)
+    for i in range(len(ch) - 1):
+        params[f"u_enc{i}_w"] = _xavier_conv(take(), ch[i + 1], ch[i], k)
+        params[f"u_enc{i}_b"] = jnp.zeros((ch[i + 1],), jnp.float32)
+    params["u_mid_w"] = _xavier_conv(take(), ch[-1], ch[-1], k)
+    params["u_mid_b"] = jnp.zeros((ch[-1],), jnp.float32)
+    for i in range(len(ch) - 2, -1, -1):
+        params[f"u_dec{i}_w"] = _xavier_conv(take(), ch[i], ch[i + 1], k)
+        params[f"u_dec{i}_b"] = jnp.zeros((ch[i],), jnp.float32)
+        # merge the skip concat (2*ch[i] channels) back to ch[i]
+        params[f"u_mrg{i}_w"] = _xavier_conv(take(), ch[i], 2 * ch[i], 1)
+        params[f"u_mrg{i}_b"] = jnp.zeros((ch[i],), jnp.float32)
+    params["u_head_w"] = _xavier_conv(take(), n_band, ch[0], 1)
+    params["u_head_b"] = jnp.zeros((n_band,), jnp.float32)
+    return params
 
 
 def init_embedder_params(
@@ -70,6 +124,8 @@ def init_embedder_params(
 ) -> dict[str, jnp.ndarray]:
     """Frequency-mixing 1x1 convs interleaved with depthwise temporal
     convs: (n_band + n_bits) -> hidden... -> n_band, xavier init."""
+    if ecfg.arch == "unet":
+        return init_unet_params(ecfg, n_band, n_bits)
     rng = jax.random.PRNGKey(ecfg.seed)
     dims = (ecfg.feature_dim(n_band, n_bits), *ecfg.hidden, n_band)
     params: dict[str, jnp.ndarray] = {}
@@ -102,6 +158,51 @@ def _depthwise_time_conv(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return y[0]
 
 
+def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+            stride: int = 1) -> jnp.ndarray:
+    """(C_in, T) x (C_out, C_in, K) same-padded conv along time."""
+    kw = w.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x[None], w[:, :, ::-1],
+        window_strides=(stride,),
+        padding=[(kw // 2, kw - 1 - kw // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y[0] + b[:, None]
+
+
+def _unet_apply(params: Mapping[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """(features, T) -> (n_band, T) through the time-downsampled U-Net."""
+    n_levels = len(
+        [k for k in params if k.startswith("u_enc") and k.endswith("_w")]
+    )
+    h = jax.nn.gelu(_conv1d(x, params["u_stem_w"], params["u_stem_b"]))
+    skips = []
+    for i in range(n_levels):
+        skips.append(h)
+        h = jax.nn.gelu(
+            _conv1d(h, params[f"u_enc{i}_w"], params[f"u_enc{i}_b"],
+                    stride=2)
+        )
+    h = jax.nn.gelu(_conv1d(h, params["u_mid_w"], params["u_mid_b"]))
+    for i in range(n_levels - 1, -1, -1):
+        h = jnp.repeat(h, 2, axis=-1)  # nearest x2 upsample
+        skip = skips[i]
+        t = skip.shape[-1]
+        if h.shape[-1] < t:
+            h = jnp.pad(h, ((0, 0), (0, t - h.shape[-1])))
+        h = jax.nn.gelu(
+            _conv1d(h[:, :t], params[f"u_dec{i}_w"], params[f"u_dec{i}_b"])
+        )
+        h = jax.nn.gelu(
+            _conv1d(
+                jnp.concatenate([h, skip], axis=0),
+                params[f"u_mrg{i}_w"], params[f"u_mrg{i}_b"],
+            )
+        )
+    return _conv1d(h, params["u_head_w"], params["u_head_b"])
+
+
 def embedder_apply(
     params: Mapping[str, jnp.ndarray],
     band_mag: jnp.ndarray,
@@ -120,7 +221,11 @@ def embedder_apply(
     logmag = jnp.log1p(band_mag)
     logmag = (logmag - jnp.mean(logmag)) / (jnp.std(logmag) + 1e-6)
     pat = jnp.broadcast_to(pattern[:, None], (pattern.shape[0], t))
-    wants_phase = params["w0"].shape[1] == 3 * n_band + pattern.shape[0]
+    is_unet = "u_stem_w" in params
+    in_w = (
+        params["u_stem_w"].shape[1] if is_unet else params["w0"].shape[1]
+    )
+    wants_phase = in_w == 3 * n_band + pattern.shape[0]
     if wants_phase:
         if band_phase is None:
             raise ValueError(
@@ -131,6 +236,10 @@ def embedder_apply(
         )
     else:
         x = jnp.concatenate([logmag, pat], axis=0)
+    if is_unet:
+        out = _unet_apply(params, x)
+        delta_max = band_mag * (10.0 ** (-tolerance_db / 20.0))
+        return jnp.maximum(band_mag + jnp.tanh(out) * delta_max, 0.0)
     n_layers = len([k for k in params if k.startswith("w")])
     for i in range(n_layers):
         x = params[f"w{i}"] @ x + params[f"b{i}"][:, None]

@@ -60,6 +60,54 @@ def test_train_step_runs_and_updates(cfg, d_params):
 
 
 @pytest.mark.slow
+def test_unet_train_step_runs_and_updates(cfg, d_params):
+    """The U-Net amortized embedder (arch="unet") trains through the same
+    adversarial step; odd clip lengths survive the down/upsample ladder."""
+    tcfg = TrainConfig(
+        batch_size=2,
+        embedder=AmortizedEmbedderConfig(
+            arch="unet", unet_channels=(32, 64)
+        ),
+    )
+    state = init_train_state(cfg, tcfg, d_params)
+    assert "u_stem_w" in state.e_params
+    step = jax.jit(make_train_step(cfg, tcfg))
+    audios = jnp.asarray(_sampler(2, length=16000 + 256)(0))  # odd T=64
+    patterns = jnp.asarray(
+        (np.random.default_rng(0).integers(0, 2, (2, 20)) * 2 - 1),
+        jnp.float32,
+    )
+    w_before = np.asarray(state.e_params["u_stem_w"]).copy()
+    state2, metrics = step(state, audios, patterns, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.array_equal(
+        np.asarray(state2.e_params["u_stem_w"]), w_before
+    )
+
+
+def test_unet_apply_respects_box(cfg, d_params):
+    """U-Net one-shot output stays inside the solver's tolerance box and
+    nonnegative (same contract as the mlp; fast.py depends on it)."""
+    from aware_tpu.config import in_band_bins
+    from aware_tpu.train.adversarial import (
+        embedder_apply,
+        init_embedder_params,
+    )
+
+    lo, hi = in_band_bins(16000, 1024, cfg.embedding_bands)
+    ecfg = AmortizedEmbedderConfig(arch="unet", unet_channels=(32, 64))
+    e = init_embedder_params(ecfg, hi - lo, 20)
+    rng = np.random.default_rng(0)
+    band = jnp.asarray(np.abs(rng.standard_normal((hi - lo, 101))), jnp.float32)
+    pat = jnp.asarray((rng.integers(0, 2, 20) * 2 - 1), jnp.float32)
+    out = np.asarray(embedder_apply(e, band, pat, cfg.tolerance_db))
+    assert out.shape == band.shape
+    delta = band * (10 ** (-cfg.tolerance_db / 20))
+    assert np.all(out >= 0)
+    assert np.all(out <= np.asarray(band + delta) + 1e-6)
+    assert np.all(out >= np.maximum(np.asarray(band - delta), 0.0) - 1e-6)
+
+
 def test_training_reduces_loss(cfg, d_params):
     tcfg = TrainConfig(
         batch_size=4, steps=40, learning_rate=1e-3,

@@ -162,6 +162,11 @@ def main() -> None:
                     help="train on the mixed clip families (OOD robustness)")
     ap.add_argument("--phase", action="store_true",
                     help="phase-conditioned net (cos/sin input channels)")
+    ap.add_argument("--arch", choices=("mlp", "unet"), default="mlp",
+                    help="unet = time-downsampled encoder/decoder over the "
+                         "magnitude (round-3 one-shot capacity direction)")
+    ap.add_argument("--unet-channels", type=int, nargs="+",
+                    default=[96, 192, 384])
     ap.add_argument("--dual-view", action="store_true",
                     help="detection loss on clean AND attacked views")
     ap.add_argument("--out", default="amortized_new.npz",
@@ -189,7 +194,8 @@ def main() -> None:
         steps=args.steps,
         dual_view=args.dual_view,
         embedder=AmortizedEmbedderConfig(
-            hidden=tuple(args.hidden), phase_conditioned=args.phase
+            hidden=tuple(args.hidden), phase_conditioned=args.phase,
+            arch=args.arch, unet_channels=tuple(args.unet_channels),
         ),
     )
     if args.diverse:
