@@ -149,6 +149,10 @@ class AwareConfig:
     # survives desync edits by construction (new capability — the
     # reference solver sees only the clean view).
     eot_stretch_rates: Any = ()
+    # Pitch-shift EOT views, in cents/100-semitone units matching the
+    # eval suite's ps_5 attack (vocoder pitch_shift at cents/100
+    # semitones); empty disables.
+    eot_pitch_cents: Any = ()
     eot_weight: float = 1.0
     # How the EOT views enter the objective: "all" sums every view each
     # iteration (cost ~ 1 + n_views per iteration); "cycle" rotates one
@@ -164,7 +168,8 @@ class AwareConfig:
         if self.vad not in ("spectral", "webrtc_gmm"):
             raise ValueError(f"Invalid vad gate: {self.vad}")
         for field in ("optimizer_params", "scheduler_params",
-                      "embedding_bands", "eot_stretch_rates"):
+                      "embedding_bands", "eot_stretch_rates",
+                      "eot_pitch_cents"):
             value = getattr(self, field)
             if isinstance(value, Mapping):
                 value = tuple(sorted(value.items()))
@@ -204,6 +209,8 @@ class AwareConfig:
             kwargs["embedding_bands"] = tuple(card["embedding_bands"])
         if "eot_stretch_rates" in card:
             kwargs["eot_stretch_rates"] = tuple(card["eot_stretch_rates"])
+        if "eot_pitch_cents" in card:
+            kwargs["eot_pitch_cents"] = tuple(card["eot_pitch_cents"])
         if "optimizer_cfg" in card:
             kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
             kwargs["optimizer_params"] = dict(

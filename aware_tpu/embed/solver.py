@@ -150,12 +150,17 @@ def build_problem(
     # candidates, so the optimized coefficients survive desync edits by
     # construction.  Differentiable end-to-end (the vocoder's magnitude
     # interpolation AND phase propagation are gradient-safe at zero bins).
-    eot_rates = tuple(cfg.eot_stretch_rates or ())
-    if eot_rates:
-        from aware_tpu.attacks.vocoder import time_stretch
+    eot_views = tuple(("ts", r) for r in (cfg.eot_stretch_rates or ())) + (
+        tuple(("ps", c) for c in (cfg.eot_pitch_cents or ()))
+    )
+    if eot_views:
+        from aware_tpu.attacks.vocoder import pitch_shift, time_stretch
 
-        def _view_loss(y, r):
-            yr = time_stretch(y, r)
+        def _view_loss(y, kind, val):
+            if kind == "ts":
+                yr = time_stretch(y, val)
+            else:  # pitch-shift view, cents -> semitones like the attack
+                yr = pitch_shift(y, val / 100.0)
             m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))
             pred = detector_apply_banded(
                 params, m2[lo:hi], lo, hi, net_cfg, cfg.matmul_precision
@@ -163,25 +168,28 @@ def build_problem(
             return loss_fn(pred, wm)
 
         if cfg.eot_mode == "cycle":
-            # one stretch view per iteration, rotating through the rate
-            # set (lax.switch keeps every branch's shapes static) — cost
-            # ~2x base per iteration regardless of how dense the rate set
-            # is, vs 1+n_views for "all"; over num_iterations each rate
-            # still gets num_iterations/n_views gradient visits
+            # one view per iteration, rotating through the set
+            # (lax.switch keeps every branch's shapes static) — cost ~2x
+            # base per iteration regardless of how dense the view set is,
+            # vs 1+n_views for "all"; over num_iterations each view still
+            # gets num_iterations/n_views gradient visits.  Measured
+            # (EOT_SWEEP.json): the dense cycle beats the round-2 4-view
+            # "all" card on BOTH desync BER and embed cost.
             branches = [
-                (lambda y, _r=r: _view_loss(y, _r)) for r in eot_rates
+                (lambda y, _k=k, _v=v: _view_loss(y, _k, _v))
+                for k, v in eot_views
             ]
 
             def eot_loss(y, it):
-                return jax.lax.switch(it % len(eot_rates), branches, y)
+                return jax.lax.switch(it % len(eot_views), branches, y)
 
         elif cfg.eot_mode == "all":
 
             def eot_loss(y, it):
                 tot = 0.0
-                for r in eot_rates:
-                    tot = tot + _view_loss(y, r)
-                return tot / len(eot_rates)
+                for k, v in eot_views:
+                    tot = tot + _view_loss(y, k, v)
+                return tot / len(eot_views)
 
         else:
             raise ValueError(f"unknown eot_mode {cfg.eot_mode!r}")

@@ -54,6 +54,11 @@ VARIANTS: dict[str, dict] = {
               "eot_mode": "all", "eot_weight": 1.0},
     # no EOT control
     "base": {"eot_stretch_rates": (), "eot_mode": "all", "eot_weight": 1.0},
+    # the cycle_8_w2 winner + pitch-shift views bracketing the ps_5 attack
+    "cycle_ps": {"eot_stretch_rates": (0.8, 0.85, 0.9, 0.95, 1.05, 1.1,
+                                       1.15, 1.2),
+                 "eot_pitch_cents": (-5.0, 5.0),
+                 "eot_mode": "cycle", "eot_weight": 2.0},
 }
 
 

@@ -317,6 +317,14 @@ def main() -> None:
         ]
     lines += [
         "",
+        "Statistical resolution: at n bits/row the one-sigma binomial noise",
+        "of a BER estimate near p is sqrt(p(1-p)/n) — at 1600 bits and",
+        "p~0.5% that is ~0.18%, so |A-C| gaps below ~0.4% (2 sigma) are",
+        "within sampling noise of two equally-good solvers, not evidence of",
+        "a solver-parity defect.  The parity clips are synthesized at the",
+        "16 kHz model rate and fed to the embed cores directly, so no VAD",
+        "gate runs in this eval (both gates pass all parity clips).",
+        "",
         "Notes: attacks are applied once per clip with a shared key, so A/B",
         "share identical attacked audio (pure detector comparison); C embeds",
         "with the torch reference loop, so desync attacks (time-stretch /",
