@@ -303,6 +303,11 @@ def build_problem(
                     csin = jnp.zeros((t_frames, 2 * P), jnp.float32)
                     csin = csin.at[:, :nb].set(cos_in.T)
                     csin = csin.at[:, P : P + nb].set(sin_in.T)
+                    # bf16 phase constant: unit vectors lose ~0.4% — the
+                    # same order as the kernels' bf16 matmul rounding —
+                    # and the synth kernel's largest operand halves
+                    # (outcome-validated; tests/test_pallas.py)
+                    csin = csin.astype(jnp.bfloat16)
                     ab = jnp.asarray(ab_np, jnp.bfloat16)
                     abt = jnp.asarray(ab_np.T.copy(), jnp.bfloat16)
                     csw = jnp.asarray(csw_np, jnp.bfloat16)

@@ -59,9 +59,14 @@ def _synth_kernel(coeffs_ref, csin_ref, yconst_ref, env_ref, ab_ref,
     pad_rows = r // 2  # (n_fft//2)//hop with n_fft = r*hop, r even
 
     c = coeffs_ref[:]
-    reim[:, :p] = c * csin_ref[:, :p]
-    reim[:, p:] = c * csin_ref[:, p:]
-    rb = reim[:].astype(jnp.bfloat16)
+    # the product is computed in f32 (type promotion if csin arrives
+    # bf16) and stored at the matmul's bf16 operand precision — the
+    # scratch stays bf16 so the clip's largest per-program buffers
+    # (csin + reim, ~5 MB at T=626 in f32) halve, buying VMEM headroom
+    # for Mosaic's grid pipelining
+    reim[:, :p] = (c * csin_ref[:, :p]).astype(jnp.bfloat16)
+    reim[:, p:] = (c * csin_ref[:, p:]).astype(jnp.bfloat16)
+    rb = reim[:]
 
     yd[:] = jnp.zeros_like(yd)
     for k in range(r):
@@ -183,7 +188,7 @@ def _synth_impl(coeffs_t, csin, y_const, env, ab):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t, 2 * p), jnp.float32),
+            pltpu.VMEM((t, 2 * p), jnp.bfloat16),
             pltpu.VMEM((t + r - 1, hop), jnp.float32),
         ],
         interpret=_use_interpret(),

@@ -64,7 +64,12 @@ class TestDetectorKernelOnChip:
         # Mosaic MXU accumulation order differs from the XLA replica's;
         # the tanh readout bounds it at ~1e-3 absolute on the chip
         np.testing.assert_allclose(got, want, atol=2e-3)
-        assert np.array_equal(np.sign(got), np.sign(want))
+        # Sign (the bit decision) must agree wherever the replica's value
+        # exceeds the kernel readout's bf16 quantization step (2^-9): a
+        # sub-quantum value on random (non-embedded) input rounds to +-0
+        # and its sign is undefined by design.
+        decided = np.abs(want) >= 2e-3
+        assert np.array_equal(np.sign(got)[decided], np.sign(want)[decided])
 
     def test_vjp_matches_replica_autodiff(self, cs, consts, rng):
         from aware_tpu.ops.pallas.detector import (
