@@ -74,9 +74,19 @@ class AmortizedEmbedderConfig:
         return (3 if self.phase_conditioned else 1) * n_band + n_bits
 
 
-def _xavier_conv(rng, o: int, i: int, k: int) -> jnp.ndarray:
-    bound = float(np.sqrt(6.0 / (i * k + o * k)))
+def _xavier_conv(rng, o: int, i: int, k: int, gain: float = 1.0) -> jnp.ndarray:
+    bound = float(gain * np.sqrt(6.0 / (i * k + o * k)))
     return jax.random.uniform(rng, (o, i, k), jnp.float32, -bound, bound)
+
+
+# Per-layer init gain for convs feeding gelu.  Gelu's small-signal slope is
+# 0.5 (E[gelu'(0)] = 0.5; for unit-variance gaussian input the variance
+# retention is ~0.425), so xavier — derived for linear/tanh — attenuates a
+# deep stack's signal by ~0.5 per layer: through the U-Net's ~10 gelu
+# layers the pattern input reached the head at ~1e-3 of its scale and
+# adversarial training collapsed to the identity (percept -> 0, BER pinned
+# at chance).  sqrt(1/0.425) ~= 1.53 restores unit forward variance.
+_GELU_GAIN = 1.53
 
 
 def init_unet_params(
@@ -101,18 +111,18 @@ def init_unet_params(
         rng, sub = jax.random.split(rng)
         return sub
 
-    params["u_stem_w"] = _xavier_conv(take(), ch[0], cin, k)
+    params["u_stem_w"] = _xavier_conv(take(), ch[0], cin, k, _GELU_GAIN)
     params["u_stem_b"] = jnp.zeros((ch[0],), jnp.float32)
     for i in range(len(ch) - 1):
-        params[f"u_enc{i}_w"] = _xavier_conv(take(), ch[i + 1], ch[i], k)
+        params[f"u_enc{i}_w"] = _xavier_conv(take(), ch[i + 1], ch[i], k, _GELU_GAIN)
         params[f"u_enc{i}_b"] = jnp.zeros((ch[i + 1],), jnp.float32)
-    params["u_mid_w"] = _xavier_conv(take(), ch[-1], ch[-1], k)
+    params["u_mid_w"] = _xavier_conv(take(), ch[-1], ch[-1], k, _GELU_GAIN)
     params["u_mid_b"] = jnp.zeros((ch[-1],), jnp.float32)
     for i in range(len(ch) - 2, -1, -1):
-        params[f"u_dec{i}_w"] = _xavier_conv(take(), ch[i], ch[i + 1], k)
+        params[f"u_dec{i}_w"] = _xavier_conv(take(), ch[i], ch[i + 1], k, _GELU_GAIN)
         params[f"u_dec{i}_b"] = jnp.zeros((ch[i],), jnp.float32)
         # merge the skip concat (2*ch[i] channels) back to ch[i]
-        params[f"u_mrg{i}_w"] = _xavier_conv(take(), ch[i], 2 * ch[i], 1)
+        params[f"u_mrg{i}_w"] = _xavier_conv(take(), ch[i], 2 * ch[i], 1, _GELU_GAIN)
         params[f"u_mrg{i}_b"] = jnp.zeros((ch[i],), jnp.float32)
     params["u_head_w"] = _xavier_conv(take(), n_band, ch[0], 1)
     params["u_head_b"] = jnp.zeros((n_band,), jnp.float32)

@@ -120,7 +120,9 @@ def eval_all_bundles(d_params, cfg, n_clips=6) -> dict:
     warm-start verdict derived from the iso-iteration grid."""
     results: dict[str, dict] = {}
     for variant, fname in (("default", "amortized_v1.npz"),
-                           ("diverse", "amortized_v1_diverse.npz")):
+                           ("diverse", "amortized_v1_diverse.npz"),
+                           ("unet", "amortized_unet_speech.npz"),
+                           ("unet_diverse", "amortized_unet_diverse.npz")):
         path = OUT_DIR / fname
         if not path.exists():
             continue
