@@ -96,7 +96,15 @@ def _band_zero(mag, lo, hi):
 class EmbedProblem(NamedTuple):
     """The per-clip optimization problem, shared by the scan solver and the
     host-loop L-BFGS solver: ``objective(coeffs) -> loss`` plus the bound
-    box and the arrays needed to reconstruct the output waveform."""
+    box and the arrays needed to reconstruct the output waveform.
+
+    ``carry`` (kernel paths only) is an ``(objective_ct, to_carry,
+    from_carry)`` triple: the same objective expressed over the padded
+    time-major (T, P) layout the Pallas kernels consume.  The scan solver
+    optimizes in that layout directly, so the per-iteration pad+transpose
+    XLA pass (and its ~2 MB/clip of HBM traffic) disappears; the padding
+    columns carry zero bounds and zero gradients (csin is zero there), so
+    they stay exactly 0 through the whole trajectory."""
 
     objective: Any
     coeffs0: jnp.ndarray   # (n_band, T) initial in-band magnitudes
@@ -106,6 +114,7 @@ class EmbedProblem(NamedTuple):
     phase: jnp.ndarray
     lo: int
     hi: int
+    carry: Any = None
 
 
 def build_problem(
@@ -145,6 +154,10 @@ def build_problem(
     # solver's per-iteration forward/backward (ops/pallas/detector.py);
     # None -> the XLA banded detector
     fused_det = None
+    # set on kernel paths: the round trip over the padded (T, P) carry
+    # layout, plus its geometry — enables the transpose-free scan carry
+    rt_ct = None
+    carry_geom = None
 
     # EOT robust views: per-iteration loss terms on vocoder-stretched
     # candidates, so the optimized coefficients survive desync edits by
@@ -326,7 +339,6 @@ def build_problem(
                 from aware_tpu.ops.mel import mel_filter_bank
                 from aware_tpu.ops.pallas.detector import (
                     P_BAND,
-                    detector_fused,
                     fused_detector_consts,
                     fused_detector_supported,
                 )
@@ -346,15 +358,32 @@ def build_problem(
                         hi,
                         t_frames,
                     )
+                    from aware_tpu.ops.pallas.analysis_detector import (
+                        analysis_detector,
+                    )
+                    from aware_tpu.ops.pallas.roundtrip import (
+                        edge_correction_rows,
+                    )
 
-                    def fused_det(cs2):
-                        return detector_fused(cs2, det_consts)
+                    def fused_det(y2r, yf):
+                        # merged analysis+detector: re-framing, slab DFT,
+                        # |.| and the conv/norm stack in ONE kernel; only
+                        # the four reflect-pad edge rows come from XLA
+                        corr = edge_correction_rows(yf, csw_k_f32, n_fft, hop)
+                        return analysis_detector(
+                            y2r, corr, csw, cswt, det_consts
+                        )
 
-                def roundtrip(coeffs):
-                    ct = jnp.zeros((t_frames, P), coeffs.dtype)
-                    ct = ct.at[:, :nb].set(coeffs.T)
+                def roundtrip_ct(ct):
+                    """Kernel round trip over the padded time-major (T, P)
+                    coefficient layout (the scan carry on kernel paths)."""
                     if pallas_ok:
                         y2r = synth_norm(ct, csin, y_const2d, env, ab, abt)
+                        yf = y2r.reshape(-1)
+                        if fused_det is not None:
+                            # the prediction comes straight from the merged
+                            # kernel; cs2/dcs never round-trip HBM
+                            return fused_det(y2r, yf), yf
                         cs2 = band_analysis(y2r, csw, cswt)
                     else:  # tiled long-clip kernels
                         y2r = synth_norm_tiled(
@@ -363,18 +392,22 @@ def build_problem(
                         cs2 = band_analysis_tiled(
                             y2r, tb["w_af"], tb["w_ab"]
                         )
-                    yf = y2r.reshape(-1)
+                        yf = y2r.reshape(-1)
                     cs2 = cs2 + edge_corrections(
                         yf, csw_k_f32, n_fft, hop, t_frames
                     )
-                    if fused_det is not None:
-                        # the fused detector consumes Re/Im directly (the
-                        # magnitude and its sgn(0)=0 gradient live in-kernel)
-                        return cs2, yf
                     m2_in = safe_magnitude(
                         cs2[:, :nb], cs2[:, P : P + nb]
                     ).T
                     return m2_in, yf
+
+                def roundtrip(coeffs):
+                    ct = jnp.zeros((t_frames, P), coeffs.dtype)
+                    ct = ct.at[:, :nb].set(coeffs.T)
+                    return roundtrip_ct(ct)
+
+                rt_ct = roundtrip_ct
+                carry_geom = (t_frames, P, nb)
 
             if not (pallas_ok or pallas_tiled):
                 AB_k = [AB_in[:, k * hop : (k + 1) * hop] for k in range(r)]
@@ -440,10 +473,9 @@ def build_problem(
                 m2_in = safe_magnitude(cs2[:, :nb], cs2[:, nb:]).T
                 return m2_in, y2
 
-        def objective(coeffs, it=0):
-            m2_in, y2 = roundtrip(coeffs)
+        def _obj_tail(m2_in, y2, it):
             if fused_det is not None:
-                pred = fused_det(m2_in)  # m2_in is the (T, 2P) Re/Im here
+                pred = m2_in  # the merged kernel already returned the bits
             else:
                 # banded detector entry: identical to band-zeroing the full
                 # magnitude (out-of-band rows contribute nothing to mel),
@@ -456,6 +488,10 @@ def build_problem(
             if eot_loss is not None:
                 loss = loss + cfg.eot_weight * eot_loss(y2, it)
             return loss
+
+        def objective(coeffs, it=0):
+            m2_in, y2 = roundtrip(coeffs)
+            return _obj_tail(m2_in, y2, it)
 
     else:
 
@@ -475,7 +511,27 @@ def build_problem(
                 loss = loss + cfg.eot_weight * eot_loss(y_norm, it)
             return loss
 
-    return EmbedProblem(objective, coeffs0, lower, upper, mag, phase, lo, hi)
+    carry = None
+    if rt_ct is not None:
+        t_frames_c, P_c, nb_c = carry_geom
+        _rt_ct, _tail = rt_ct, _obj_tail
+
+        def objective_ct(ct, it=0):
+            m2_in, y2 = _rt_ct(ct)
+            return _tail(m2_in, y2, it)
+
+        def to_carry(c):
+            x = jnp.zeros((t_frames_c, P_c), c.dtype)
+            return x.at[:, :nb_c].set(c.T)
+
+        def from_carry(ct):
+            return ct[:, :nb_c].T
+
+        carry = (objective_ct, to_carry, from_carry)
+
+    return EmbedProblem(
+        objective, coeffs0, lower, upper, mag, phase, lo, hi, carry
+    )
 
 
 def _reconstruct(pb: EmbedProblem, best_coeffs: jnp.ndarray, cfg: AwareConfig):
@@ -509,14 +565,24 @@ def embed_core(
             "automatically for single-clip embeds)."
         )
     pb = build_problem(params, audio, watermark, cfg)
-    coeffs0, lower, upper = pb.coeffs0, pb.lower, pb.upper
+    if pb.carry is not None:
+        # kernel paths optimize in the padded time-major (T, P) layout the
+        # kernels consume — no per-iteration pad/transpose; the padding
+        # columns have zero bounds and zero gradients so they stay 0
+        objective_fn, to_carry, from_carry = pb.carry
+        coeffs0 = to_carry(pb.coeffs0)
+        lower = to_carry(pb.lower)
+        upper = to_carry(pb.upper)
+    else:
+        objective_fn, to_carry, from_carry = pb.objective, None, lambda c: c
+        coeffs0, lower, upper = pb.coeffs0, pb.lower, pb.upper
     opt = get_optimizer(
         cfg.optimizer_name,
         **{k: v for k, v in cfg.opt_params.items() if k != "lr"},
     )
     base_lr = float(cfg.opt_params.get("lr", 0.1))
     sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
-    grad_fn = jax.value_and_grad(pb.objective)
+    grad_fn = jax.value_and_grad(objective_fn)
 
     def body(carry, it):
         coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
@@ -530,11 +596,13 @@ def embed_core(
         best_coeffs = jnp.where(better, new_coeffs, best_coeffs)
         return (new_coeffs, opt_state, sched_state, best_loss, best_coeffs), loss
 
-    start = (
-        coeffs0
-        if init_coeffs is None
-        else jnp.clip(init_coeffs.astype(coeffs0.dtype), lower, upper)
-    )
+    if init_coeffs is None:
+        start = coeffs0
+    else:
+        warm = init_coeffs.astype(pb.coeffs0.dtype)
+        if to_carry is not None:
+            warm = to_carry(warm)
+        start = jnp.clip(warm, lower, upper)
     init = (
         start,
         opt.init(start),
@@ -549,6 +617,7 @@ def embed_core(
         unroll=cfg.scan_unroll,
     )
 
+    best_coeffs = from_carry(best_coeffs)
     out = _reconstruct(pb, best_coeffs, cfg)
     return EmbedResult(
         audio=out, best_loss=best_loss, final_loss=losses[-1], coeffs=best_coeffs

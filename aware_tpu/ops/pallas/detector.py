@@ -167,35 +167,34 @@ def _leaky(x):
 
 # ----------------------------------------------------------------- fwd ---
 
-def _fwd_kernel(cs_ref, melb_ref, pmt_ref, w0t_ref, w1t_ref, w2t_ref,
-                w3t_ref, b_ref, eo_ref,
-                pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref, y3_ref,
-                mu1_ref, r1_ref, rin0_ref, rin1_ref, rin2_ref, rin3_ref,
-                gmu_ref, gr_ref, s_ref):
-    t, p2 = cs_ref.shape
-    p = p2 // 2
-    t2 = pmt_ref.shape[0]
+def _det_fwd_values(cs, melb, pmt, w0t, w1t, w2t, w3t, biases, eo):
+    """Value-level detector forward shared by the standalone kernel and the
+    merged analysis+detector kernel (ops/pallas/analysis_detector.py).
 
-    cs = cs_ref[:]
+    ``cs``: (T, 2P) f32 in-band Re/Im.  Returns the prediction plus every
+    residual the closed-form backward needs:
+    (pred, nph_re, nph_im, mel_bf16, [y0..y3], mu1, r1, [rin0..rin3],
+    gmu, gr, s) — yhat/mel residuals already cast bf16.
+    """
+    t, p2 = cs.shape
+    p = p2 // 2
+
     re, im = cs[:, :p], cs[:, p:]
     sq = re * re + im * im
     zero = sq == 0
     m = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
     inv = jnp.where(zero, 0.0, 1.0 / jnp.where(zero, 1.0, m))
-    nph_ref[:, :p] = (re * inv).astype(jnp.bfloat16)
-    nph_ref[:, p:] = (im * inv).astype(jnp.bfloat16)
+    nph_re = (re * inv).astype(jnp.bfloat16)
+    nph_im = (im * inv).astype(jnp.bfloat16)
 
-    mel = jnp.dot(m.astype(jnp.bfloat16), melb_ref[:],
+    mel = jnp.dot(m.astype(jnp.bfloat16), melb,
                   preferred_element_type=jnp.float32)      # (T, 128)
-    mel_ref[:] = mel.astype(jnp.bfloat16)
 
     # InstanceNorm1d over time, biased variance (reference conv1d.py norm)
     mu1 = jnp.mean(mel, axis=0, keepdims=True)             # (1, 128)
     var1 = jnp.mean((mel - mu1) ** 2, axis=0, keepdims=True)
     r1 = jax.lax.rsqrt(var1 + _IN_EPS)
     a = (mel - mu1) * r1
-    mu1_ref[:] = mu1
-    r1_ref[:] = r1
 
     # GlobalStandardize: whole-tensor mean / unbiased std + eps
     # (reference globalStandardize.py:16-21)
@@ -205,36 +204,61 @@ def _fwd_kernel(cs_ref, melb_ref, pmt_ref, w0t_ref, w1t_ref, w2t_ref,
     s = jnp.sqrt(gvar)
     gr = 1.0 / (s + _GS_EPS)
     b_full = (a - gmu) * gr
-    gmu_ref[0, 0] = gmu
-    gr_ref[0, 0] = gr
-    s_ref[0, 0] = s
 
     # AvgPool1d(2, 2) as a matmul (the pool matrix drops a trailing odd
     # frame exactly like torch's floor division)
-    x = jnp.dot(pmt_ref[:], b_full.astype(jnp.bfloat16),
+    x = jnp.dot(pmt, b_full.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)        # (T2, 128)
 
-    wts = (w0t_ref, w1t_ref, w2t_ref, w3t_ref)
-    y_refs = (y0_ref, y1_ref, y2_ref, y3_ref)
-    rin_refs = (rin0_ref, rin1_ref, rin2_ref, rin3_ref)
+    wts = (w0t, w1t, w2t, w3t)
+    ys, rins = [], []
     for i in range(4):
         c_out = CH[i + 1]
-        h = jnp.dot(x.astype(jnp.bfloat16), wts[i][:],
+        h = jnp.dot(x.astype(jnp.bfloat16), wts[i],
                     preferred_element_type=jnp.float32)
-        h = h + b_ref[i:i + 1, :c_out]
+        h = h + biases[i:i + 1, :c_out]
         mu = jnp.mean(h, axis=0, keepdims=True)
         var = jnp.mean((h - mu) ** 2, axis=0, keepdims=True)
         r = jax.lax.rsqrt(var + _IN_EPS)
         yhat = (h - mu) * r
-        y_refs[i][:] = yhat.astype(jnp.bfloat16)
-        rin_refs[i][:] = r
+        ys.append(yhat.astype(jnp.bfloat16))
+        rins.append(r)
         x = _leaky(yhat)
 
     # BRH: masked-free time mean (shapes are exact), even-odd readout,
     # tanh (reference BRH.py:16-27); the +-1 contraction stays f32
     pool4 = jnp.mean(x, axis=0, keepdims=True)             # (1, 128)
-    outp = jnp.dot(pool4, eo_ref[:], preferred_element_type=jnp.float32)
-    pred_ref[:] = jnp.tanh(outp)
+    outp = jnp.dot(pool4, eo, preferred_element_type=jnp.float32)
+    pred = jnp.tanh(outp)
+    return (pred, nph_re, nph_im, mel.astype(jnp.bfloat16), ys, mu1, r1,
+            rins, gmu, gr, s)
+
+
+def _fwd_kernel(cs_ref, melb_ref, pmt_ref, w0t_ref, w1t_ref, w2t_ref,
+                w3t_ref, b_ref, eo_ref,
+                pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref, y3_ref,
+                mu1_ref, r1_ref, rin0_ref, rin1_ref, rin2_ref, rin3_ref,
+                gmu_ref, gr_ref, s_ref):
+    p = cs_ref.shape[1] // 2
+    (pred, nph_re, nph_im, mel, ys, mu1, r1, rins, gmu, gr, s) = (
+        _det_fwd_values(
+            cs_ref[:], melb_ref[:], pmt_ref[:], w0t_ref[:], w1t_ref[:],
+            w2t_ref[:], w3t_ref[:], b_ref[:], eo_ref[:],
+        )
+    )
+    nph_ref[:, :p] = nph_re
+    nph_ref[:, p:] = nph_im
+    mel_ref[:] = mel
+    for ref, y in zip((y0_ref, y1_ref, y2_ref, y3_ref), ys):
+        ref[:] = y
+    mu1_ref[:] = mu1
+    r1_ref[:] = r1
+    for ref, r in zip((rin0_ref, rin1_ref, rin2_ref, rin3_ref), rins):
+        ref[:] = r
+    gmu_ref[0, 0] = gmu
+    gr_ref[0, 0] = gr
+    s_ref[0, 0] = s
+    pred_ref[:] = pred
 
 
 def _fwd_impl(cs, c: DetConsts):
@@ -272,26 +296,23 @@ def _fwd_impl(cs, c: DetConsts):
 
 # ----------------------------------------------------------------- bwd ---
 
-def _bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref,
-                y3_ref, mu1_ref, r1_ref, rin0_ref, rin1_ref, rin2_ref,
-                rin3_ref, gmu_ref, gr_ref, s_ref,
-                pm_ref, w0_ref, w1_ref, w2_ref, w3_ref, eot_ref, melbt_ref,
-                dcs_ref):
-    t, p2 = dcs_ref.shape
+def _det_bwd_values(g, pred, nph, mel_bf, ys, mu1, r1, rins, gmu, gr, s,
+                    pm, w0, w1, w2, w3, eot, melbt):
+    """Value-level detector backward (input cotangent only — the net is
+    frozen key material).  Shared by the standalone kernel and the merged
+    analysis+detector kernel.  Returns the (T, 2P) dcs value."""
+    t, p2 = nph.shape
     p = p2 // 2
-    t2 = y0_ref.shape[0]
+    t2 = ys[0].shape[0]
 
-    pred = pred_ref[:]
-    gt = g_ref[:] * (1.0 - pred * pred)                    # tanh'
-    dpool4 = jnp.dot(gt, eot_ref[:], preferred_element_type=jnp.float32)
+    gt = g * (1.0 - pred * pred)                           # tanh'
+    dpool4 = jnp.dot(gt, eot, preferred_element_type=jnp.float32)
     dx = jnp.broadcast_to(dpool4 / t2, (t2, 128))          # mean-pool bwd
 
-    y_refs = (y0_ref, y1_ref, y2_ref, y3_ref)
-    rin_refs = (rin0_ref, rin1_ref, rin2_ref, rin3_ref)
-    ws = (w0_ref, w1_ref, w2_ref, w3_ref)
+    ws = (w0, w1, w2, w3)
     for i in range(3, -1, -1):
-        yhat = y_refs[i][:].astype(jnp.float32)
-        r = rin_refs[i][:]
+        yhat = ys[i].astype(jnp.float32)
+        r = rins[i]
         du = dx * jnp.where(yhat >= 0, 1.0, 0.2)           # leaky bwd
         # instance-norm input cotangent (closed form, frozen affine-less)
         dh = r * (
@@ -299,20 +320,15 @@ def _bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref,
             - jnp.mean(du, axis=0, keepdims=True)
             - yhat * jnp.mean(du * yhat, axis=0, keepdims=True)
         )
-        dx = jnp.dot(dh.astype(jnp.bfloat16), ws[i][:],
+        dx = jnp.dot(dh.astype(jnp.bfloat16), ws[i],
                      preferred_element_type=jnp.float32)   # (T2, C_in)
 
     # pool backward: scatter halves back to frame rows
-    db = jnp.dot(pm_ref[:], dx.astype(jnp.bfloat16),
+    db = jnp.dot(pm, dx.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)       # (T, 128)
 
     # GlobalStandardize backward
-    mu1 = mu1_ref[:]
-    r1 = r1_ref[:]
-    gmu = gmu_ref[0, 0]
-    gr = gr_ref[0, 0]
-    s = s_ref[0, 0]
-    mel = mel_ref[:].astype(jnp.float32)
+    mel = mel_bf.astype(jnp.float32)
     a = (mel - mu1) * r1
     b_full = (a - gmu) * gr
     n_el = t * 128
@@ -325,12 +341,29 @@ def _bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref,
         - jnp.mean(da, axis=0, keepdims=True)
         - a * jnp.mean(da * a, axis=0, keepdims=True)
     )
-    dm = jnp.dot(dmel.astype(jnp.bfloat16), melbt_ref[:],
+    dm = jnp.dot(dmel.astype(jnp.bfloat16), melbt,
                  preferred_element_type=jnp.float32)       # (T, P)
     # |.| backward through the stored unit phase (sgn(0)=0 convention)
-    nph = nph_ref[:].astype(jnp.float32)
-    dcs_ref[:, :p] = dm * nph[:, :p]
-    dcs_ref[:, p:] = dm * nph[:, p:]
+    nphf = nph.astype(jnp.float32)
+    return jnp.concatenate(
+        [dm * nphf[:, :p], dm * nphf[:, p:]], axis=1
+    )
+
+
+def _bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2_ref,
+                y3_ref, mu1_ref, r1_ref, rin0_ref, rin1_ref, rin2_ref,
+                rin3_ref, gmu_ref, gr_ref, s_ref,
+                pm_ref, w0_ref, w1_ref, w2_ref, w3_ref, eot_ref, melbt_ref,
+                dcs_ref):
+    dcs_ref[:] = _det_bwd_values(
+        g_ref[:], pred_ref[:], nph_ref[:], mel_ref[:],
+        [y0_ref[:], y1_ref[:], y2_ref[:], y3_ref[:]],
+        mu1_ref[:], r1_ref[:],
+        [rin0_ref[:], rin1_ref[:], rin2_ref[:], rin3_ref[:]],
+        gmu_ref[0, 0], gr_ref[0, 0], s_ref[0, 0],
+        pm_ref[:], w0_ref[:], w1_ref[:], w2_ref[:], w3_ref[:],
+        eot_ref[:], melbt_ref[:],
+    )
 
 
 def _bwd_impl(g, res):

@@ -69,11 +69,20 @@ def main() -> None:
 
     def solver_scan(audio16, wm, n, stage):
         pb = build_problem(params, audio16, wm, cfg)
+        # mirror production: kernel paths optimize in the (T, P) carry
+        # layout (embed_core does the same)
+        if pb.carry is not None:
+            objective_c, to_carry, _ = pb.carry
+            coeffs0 = to_carry(pb.coeffs0)
+            lower, upper = to_carry(pb.lower), to_carry(pb.upper)
+        else:
+            objective_c, coeffs0 = pb.objective, pb.coeffs0
+            lower, upper = pb.lower, pb.upper
         if stage in ("full", "rt_only"):
-            # rt_only relies on the caller having monkeypatched
-            # detector_fused to a cheap sum, so pb.objective runs only the
-            # round-trip kernels + edge corrections + loss plumbing
-            objective = pb.objective
+            # rt_only relies on the caller having monkeypatched the merged
+            # analysis_detector kernel to a cheap sum, so the objective
+            # runs only the synthesis kernel + edge rows + loss plumbing
+            objective = objective_c
         else:
             objective = lambda c, it=0: jnp.sum(c * c) * 1e-6
         opt = get_optimizer(cfg.optimizer_name,
@@ -89,14 +98,14 @@ def main() -> None:
             lr = sched_state["lr"]
             coeffs, opt_state = opt.update(g, opt_state, coeffs, lr)
             sched_state = sched.step(sched_state, loss)
-            coeffs = jnp.clip(coeffs, pb.lower, pb.upper)
+            coeffs = jnp.clip(coeffs, lower, upper)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best = jnp.where(better, coeffs, best)
             return (coeffs, opt_state, sched_state, best_loss, best), loss
 
-        init = (pb.coeffs0, opt.init(pb.coeffs0), sched.init(base_lr),
-                jnp.asarray(jnp.inf, jnp.float32), pb.coeffs0)
+        init = (coeffs0, opt.init(coeffs0), sched.init(base_lr),
+                jnp.asarray(jnp.inf, jnp.float32), coeffs0)
         (coeffs, *_rest), losses = jax.lax.scan(
             body, init, jnp.arange(n, dtype=jnp.int32),
             unroll=cfg.scan_unroll,
@@ -114,11 +123,13 @@ def main() -> None:
         row = {"batch": batch}
         for stage in args.stages:
             if stage == "rt_only":
-                import aware_tpu.embed.solver as S
-                from aware_tpu.ops.pallas import detector as D
+                from aware_tpu.ops.pallas import analysis_detector as AD
 
-                orig = D.detector_fused
-                D.detector_fused = lambda cs, c: jnp.sum(cs, axis=0)[:20] * 1e-6
+                orig = AD.analysis_detector
+                AD.analysis_detector = (
+                    lambda y2, corr, csw, cswt, c:
+                    jnp.sum(y2, axis=0)[:20] * 1e-6
+                )
 
             try:
                 t_at = {}
@@ -145,7 +156,7 @@ def main() -> None:
                           f"(compile {compile_s:.1f}s)", file=sys.stderr)
             finally:
                 if stage == "rt_only":
-                    D.detector_fused = orig
+                    AD.analysis_detector = orig
             per_iter = (t_at[n2] - t_at[n1]) / (n2 - n1) / batch * 1e3
             row[stage] = round(per_iter, 4)
             print(json.dumps(row), file=sys.stderr)
