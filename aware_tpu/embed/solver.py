@@ -154,6 +154,12 @@ def build_problem(
     # solver's per-iteration forward/backward (ops/pallas/detector.py);
     # None -> the XLA banded detector
     fused_det = None
+    # set when the whole iteration (synth+analysis+detector) runs as one
+    # kernel per direction (non-EOT kernel path)
+    megakernel = None
+    # set when additionally loss/optimizer match the default card ->
+    # the whole scan body runs as ONE kernel (iteration_step)
+    step_parts = None
     # set on kernel paths: the round trip over the padded (T, P) carry
     # layout, plus its geometry — enables the transpose-free scan carry
     rt_ct = None
@@ -347,6 +353,7 @@ def build_problem(
                     pallas_ok
                     and cfg.use_pallas_detector
                     and P == P_BAND
+                    and t_frames >= 8  # distinct reflect-pad boundary rows
                     and fused_detector_supported(net_cfg, nb, t_frames)
                 ):
                     det_consts = fused_detector_consts(
@@ -360,30 +367,65 @@ def build_problem(
                     )
                     from aware_tpu.ops.pallas.analysis_detector import (
                         analysis_detector,
-                    )
-                    from aware_tpu.ops.pallas.roundtrip import (
-                        edge_correction_rows,
+                        reflect_pad_matrices,
                     )
 
-                    def fused_det(y2r, yf):
-                        # merged analysis+detector: re-framing, slab DFT,
-                        # |.| and the conv/norm stack in ONE kernel; only
-                        # the four reflect-pad edge rows come from XLA
-                        corr = edge_correction_rows(yf, csw_k_f32, n_fft, hop)
+                    pads = reflect_pad_matrices(hop)
+
+                    def fused_det(y2r):
+                        # merged analysis+detector: exact reflect-pad
+                        # re-framing (in-kernel flip-matmuls), slab DFT,
+                        # |.| and the conv/norm stack in ONE kernel
                         return analysis_detector(
-                            y2r, corr, csw, cswt, det_consts
+                            y2r, pads, csw, cswt, det_consts
                         )
+
+                    if eot_loss is None:
+                        # no live waveform output needed -> the WHOLE
+                        # iteration (synthesis + analysis + detector) runs
+                        # as one kernel per direction
+                        # (ops/pallas/iteration.py)
+                        from aware_tpu.ops.pallas.iteration import (
+                            IterConsts,
+                            iteration_forward,
+                            iteration_step,
+                        )
+
+                        iter_consts = IterConsts(
+                            csin=csin, y_const=y_const2d, env=env, ab=ab,
+                            abt=abt, pads=pads, csw=csw, cswt=cswt,
+                            det=det_consts,
+                        )
+
+                        def megakernel(ct):
+                            return iteration_forward(ct, iter_consts)
+
+                        # default-card loss + optimizer -> the whole scan
+                        # body (fwd + loss grad + bwd + NAdam + clamp +
+                        # best snapshot) collapses into ONE kernel
+                        if (
+                            cfg.loss == "push_extremes"
+                            and cfg.optimizer_name == "nadam"
+                            and not cfg.opt_params.get("weight_decay", 0.0)
+                        ):
+                            step_parts = (iteration_step, iter_consts)
+                    else:
+                        megakernel = None
 
                 def roundtrip_ct(ct):
                     """Kernel round trip over the padded time-major (T, P)
                     coefficient layout (the scan carry on kernel paths)."""
                     if pallas_ok:
+                        if megakernel is not None:
+                            # one kernel per direction; no intermediate
+                            # leaves VMEM except the bwd residuals
+                            return megakernel(ct), None
                         y2r = synth_norm(ct, csin, y_const2d, env, ab, abt)
                         yf = y2r.reshape(-1)
                         if fused_det is not None:
                             # the prediction comes straight from the merged
                             # kernel; cs2/dcs never round-trip HBM
-                            return fused_det(y2r, yf), yf
+                            return fused_det(y2r), yf
                         cs2 = band_analysis(y2r, csw, cswt)
                     else:  # tiled long-clip kernels
                         y2r = synth_norm_tiled(
@@ -527,7 +569,27 @@ def build_problem(
         def from_carry(ct):
             return ct[:, :nb_c].T
 
-        carry = (objective_ct, to_carry, from_carry)
+        step_fused = None
+        if step_parts is not None:
+            _iter_step, _iter_consts = step_parts
+            n_bits = int(watermark.shape[0])
+            wm_pad = jnp.zeros((1, 128), jnp.float32).at[0, :n_bits].set(
+                wm.astype(jnp.float32)
+            )
+            lower_c = to_carry(lower)
+            upper_c = to_carry(upper)
+            bts = cfg.opt_params.get("betas", (0.9, 0.999))
+            b1_o, b2_o = float(bts[0]), float(bts[1])
+            eps_o = float(cfg.opt_params.get("eps", 1e-8))
+
+            def step_fused(ct, m, v, best, s1, s2, d2, best_loss):
+                return _iter_step(
+                    ct, m, v, best, wm_pad, lower_c, upper_c,
+                    s1, s2, d2, best_loss, _iter_consts,
+                    b1=b1_o, b2=b2_o, eps=eps_o, n_bits=n_bits,
+                )
+
+        carry = (objective_ct, to_carry, from_carry, step_fused)
 
     return EmbedProblem(
         objective, coeffs0, lower, upper, mag, phase, lo, hi, carry
@@ -565,11 +627,12 @@ def embed_core(
             "automatically for single-clip embeds)."
         )
     pb = build_problem(params, audio, watermark, cfg)
+    step_fused = None
     if pb.carry is not None:
         # kernel paths optimize in the padded time-major (T, P) layout the
         # kernels consume — no per-iteration pad/transpose; the padding
         # columns have zero bounds and zero gradients so they stay 0
-        objective_fn, to_carry, from_carry = pb.carry
+        objective_fn, to_carry, from_carry, step_fused = pb.carry
         coeffs0 = to_carry(pb.coeffs0)
         lower = to_carry(pb.lower)
         upper = to_carry(pb.upper)
@@ -584,17 +647,52 @@ def embed_core(
     sched = get_scheduler(cfg.scheduler_name, **cfg.sched_params)
     grad_fn = jax.value_and_grad(objective_fn)
 
-    def body(carry, it):
-        coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
-        loss, g = grad_fn(coeffs, it)
-        lr = sched_state["lr"]  # lr from *before* this step's scheduler tick
-        new_coeffs, opt_state = opt.update(g, opt_state, coeffs, lr)
-        sched_state = sched.step(sched_state, loss)
-        new_coeffs = jnp.clip(new_coeffs, lower, upper)
-        better = loss < best_loss
-        best_loss = jnp.where(better, loss, best_loss)
-        best_coeffs = jnp.where(better, new_coeffs, best_coeffs)
-        return (new_coeffs, opt_state, sched_state, best_loss, best_coeffs), loss
+    if step_fused is not None:
+        # whole-step kernel path: the scan body is ONE pallas call; only
+        # the NAdam scalar schedule (torch's mu-product recursion, see
+        # embed/optim.py nadam) and the scheduler tick stay in XLA.
+        bts = cfg.opt_params.get("betas", (0.9, 0.999))
+        b1_s, b2_s = float(bts[0]), float(bts[1])
+        psi_s = float(cfg.opt_params.get("momentum_decay", 4e-3))
+
+        def body(carry, it):
+            coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
+            lr = sched_state["lr"]  # lr from *before* this step's tick
+            t = opt_state["step"] + 1.0
+            mu_t = b1_s * (1.0 - 0.5 * 0.96 ** (t * psi_s))
+            mu_next = b1_s * (1.0 - 0.5 * 0.96 ** ((t + 1.0) * psi_s))
+            mu_prod = opt_state["mu_prod"] * mu_t
+            s1 = jnp.reshape(lr * (1.0 - mu_t) / (1.0 - mu_prod), (1, 1))
+            s2 = jnp.reshape(
+                lr * mu_next / (1.0 - mu_prod * mu_next), (1, 1)
+            )
+            d2 = jnp.reshape(1.0 - b2_s**t, (1, 1))
+            loss, coeffs, m_, v_, best_coeffs, bl = step_fused(
+                coeffs, opt_state["m"], opt_state["v"], best_coeffs,
+                s1, s2, d2, jnp.reshape(best_loss, (1, 1)),
+            )
+            loss_s = loss[0, 0]
+            opt_state = {"step": t, "m": m_, "v": v_, "mu_prod": mu_prod}
+            sched_state = sched.step(sched_state, loss_s)
+            return (
+                coeffs, opt_state, sched_state, bl[0, 0], best_coeffs
+            ), loss_s
+
+    else:
+
+        def body(carry, it):
+            coeffs, opt_state, sched_state, best_loss, best_coeffs = carry
+            loss, g = grad_fn(coeffs, it)
+            lr = sched_state["lr"]  # lr from *before* this step's tick
+            new_coeffs, opt_state = opt.update(g, opt_state, coeffs, lr)
+            sched_state = sched.step(sched_state, loss)
+            new_coeffs = jnp.clip(new_coeffs, lower, upper)
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_coeffs = jnp.where(better, new_coeffs, best_coeffs)
+            return (
+                new_coeffs, opt_state, sched_state, best_loss, best_coeffs
+            ), loss
 
     if init_coeffs is None:
         start = coeffs0

@@ -7,33 +7,44 @@ detector kernels the (T, 2P) in-band Re/Im tensor ``cs2`` (and its
 cotangent ``dcs`` on the way back) round-tripped HBM every iteration —
 ~5 MB/iter/clip of pure interconnect traffic plus two extra grid
 dispatches (docs/PERF_NOTES.md round-3 stage isolation).  This module
-fuses re-framing + slab analysis DFT + reflect-pad edge rows + |.| +
-the whole conv/norm detector stack into a single forward kernel (and
-the mirrored single backward kernel), so ``cs2``/``dcs`` never leave
-VMEM.
+fuses re-framing + slab analysis DFT + |.| + the whole conv/norm
+detector stack into a single forward kernel (and the mirrored single
+backward kernel), so ``cs2``/``dcs`` never leave VMEM.
 
 Reference dataflow being implemented (behavior, not structure):
 STFT re-analysis feeding the frozen detector net —
 multibit_embedder.py:103-107 -> multibit_detector_net.py:109-140.
 
-The reflect-pad boundary handling keeps the round-2 design split: the
-kernel frames with zero padding, and the four affected boundary frames'
-corrections enter as a tiny (8, 2P) row tensor computed in XLA from the
-signal (``edge_correction_rows`` in roundtrip.py — lane reversals stay
-out of Mosaic).  The backward emits the matching (8, 2P) ``dcorr`` rows
-and XLA's autodiff of the row builder routes them back into the signal
-cotangent.
+Reflect padding without lane reversals: the round-2 kernels framed with
+zero padding and the four affected boundary frames were corrected in
+XLA (``edge_corrections``).  Here the TRUE reflect-pad rows are built
+inside the kernel as tiny flip-matmuls — the reversal+shift is folded
+into constant 0/1 matrices (``reflect_pad_matrices``): with h = hop,
 
-All matmuls are bf16 operands with f32 accumulation — bit-identical
-operand roundings to the round-2 two-kernel chain, so the merged op is
-near-exact against composing ``band_analysis`` + ``detector_fused``
-(tests/test_analysis_detector.py).
+    pad_top0    = y2[1]    @ F1 + y2[2]    @ E1
+    pad_top1    = y2[0]    @ F1 + y2[1]    @ E1
+    pad_bot0    = y2[lr-1] @ F2 + y2[lr-2] @ E2
+    pad_bot1    = y2[lr-2] @ F2 + y2[lr-3] @ E2
+
+where F1[j,i]=1 iff i+j=h, E1=[0,0], F2[j,i]=1 iff i+j=h-2,
+E2=[h-1,h-1] (all four symmetric, so the backward reuses them).  The
+framing is therefore exact — no XLA edge stage in either direction —
+with the pad rows entering at the same bf16 operand precision as every
+other frame row.
+
+All matmuls are bf16 operands with f32 accumulation; equivalence to the
+round-2 composition (analysis kernel + f32 XLA edge scatter + detector
+kernel) is asserted at bf16-boundary tolerance, and to a bf16-identical
+pure-jax replica near-exactly (tests/test_analysis_detector.py).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -47,9 +58,44 @@ from aware_tpu.ops.pallas.detector import (
 )
 
 
+@functools.lru_cache(maxsize=4)
+def _pad_mats_np(hop: int) -> np.ndarray:
+    """(4*hop, hop) stack [F1; E1; F2; E2] of the reflect-pad flip
+    matrices (see module docstring)."""
+    h = hop
+    m = np.zeros((4 * h, h), np.float32)
+    j = np.arange(1, h)
+    m[j, h - j] = 1.0              # F1: i + j = h
+    m[h, 0] = 1.0                  # E1: [0, 0]
+    j2 = np.arange(0, h - 1)
+    m[2 * h + j2, h - 2 - j2] = 1.0  # F2: i + j = h - 2
+    m[4 * h - 1, h - 1] = 1.0      # E2: [h-1, h-1]
+    return m
+
+
+def reflect_pad_matrices(hop: int) -> jnp.ndarray:
+    """bf16 (4*hop, hop) [F1; E1; F2; E2] for the merged kernels."""
+    return jnp.asarray(_pad_mats_np(hop), jnp.bfloat16)
+
+
+def _pad_rows(y2b, pads, lr, h):
+    """The four reflect-pad rows from bf16 y2 rows (kernel + replica)."""
+    f1, e1 = pads[0:h], pads[h : 2 * h]
+    f2, e2 = pads[2 * h : 3 * h], pads[3 * h : 4 * h]
+
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.float32)
+
+    top0 = dot(y2b[1:2], f1) + dot(y2b[2:3], e1)
+    top1 = dot(y2b[0:1], f1) + dot(y2b[1:2], e1)
+    bot0 = dot(y2b[lr - 1 : lr], f2) + dot(y2b[lr - 2 : lr - 1], e2)
+    bot1 = dot(y2b[lr - 2 : lr - 1], f2) + dot(y2b[lr - 3 : lr - 2], e2)
+    return top0, top1, bot0, bot1
+
+
 # ----------------------------------------------------------------- fwd ---
 
-def _ad_fwd_kernel(y2_ref, corr_ref, csw_ref, melb_ref, pmt_ref, w0t_ref,
+def _ad_fwd_kernel(y2_ref, pads_ref, csw_ref, melb_ref, pmt_ref, w0t_ref,
                    w1t_ref, w2t_ref, w3t_ref, b_ref, eo_ref,
                    pred_ref, nph_ref, mel_ref, y0_ref, y1_ref, y2o_ref,
                    y3_ref, mu1_ref, r1_ref, rin0_ref, rin1_ref, rin2_ref,
@@ -58,18 +104,21 @@ def _ad_fwd_kernel(y2_ref, corr_ref, csw_ref, melb_ref, pmt_ref, w0t_ref,
     t = lr + 1
     r = yp.shape[0] - t + 1
     pad_rows = r // 2
-    p2 = corr_ref.shape[1]
+    p2 = nph_ref.shape[1]
     p = p2 // 2
 
-    # --- slab analysis (zero-pad framing; boundary rows seeded from the
-    # XLA-side reflect-pad corrections so cs2 is complete in-kernel) ---
-    yp[:] = jnp.zeros_like(yp)
-    yp[pad_rows : pad_rows + lr, :] = y2_ref[:]
+    # --- exact reflect-pad framing (flip-matmul pad rows) ---
+    y2 = y2_ref[:]
+    y2b = y2.astype(jnp.bfloat16)
+    pads = pads_ref[:]
+    top0, top1, bot0, bot1 = _pad_rows(y2b, pads, lr, hop)
+    yp[0:1, :] = top0
+    yp[1:2, :] = top1
+    yp[pad_rows : pad_rows + lr, :] = y2
+    yp[pad_rows + lr : pad_rows + lr + 1, :] = bot0
+    yp[pad_rows + lr + 1 : pad_rows + lr + 2, :] = bot1
 
-    corr = corr_ref[:]
-    cs2 = jnp.concatenate(
-        [corr[0:2], jnp.zeros((t - 4, p2), jnp.float32), corr[2:4]], axis=0
-    )
+    cs2 = jnp.zeros((t, p2), jnp.float32)
     for k in range(r):
         yk = yp[k : k + t, :].astype(jnp.bfloat16)
         cs2 = cs2 + jnp.dot(
@@ -99,11 +148,11 @@ def _ad_fwd_kernel(y2_ref, corr_ref, csw_ref, melb_ref, pmt_ref, w0t_ref,
     pred_ref[:] = pred
 
 
-def _ad_fwd_impl(y2, corr, csw, c: DetConsts):
+def _ad_fwd_impl(y2, pads, csw, c: DetConsts):
     lr, hop = y2.shape
     t = lr + 1
     r = csw.shape[0] // hop
-    p2 = corr.shape[1]
+    p2 = csw.shape[1]
     t2 = c.pmt.shape[0]
     vs = pl.BlockSpec(memory_space=pltpu.VMEM)
     ss = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -132,7 +181,7 @@ def _ad_fwd_impl(y2, corr, csw, c: DetConsts):
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((t + r - 1, hop), jnp.float32)],
         interpret=_use_interpret(),
-    )(y2, corr, csw, c.melb, c.pmt, c.w0t, c.w1t, c.w2t, c.w3t,
+    )(y2, pads, csw, c.melb, c.pmt, c.w0t, c.w1t, c.w2t, c.w3t,
       c.biases, c.eo)
 
 
@@ -142,8 +191,8 @@ def _ad_bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref,
                    y2r_ref, y3_ref, mu1_ref, r1_ref, rin0_ref, rin1_ref,
                    rin2_ref, rin3_ref, gmu_ref, gr_ref, s_ref,
                    pm_ref, w0_ref, w1_ref, w2_ref, w3_ref, eot_ref,
-                   melbt_ref, cswt_ref,
-                   gy2_ref, dcorr_ref, gyp):
+                   melbt_ref, cswt_ref, pads_ref,
+                   gy2_ref, gyp):
     t = nph_ref.shape[0]
     lr, hop = gy2_ref.shape
     r = gyp.shape[0] - t + 1
@@ -160,12 +209,6 @@ def _ad_bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref,
         eot_ref[:], melbt_ref[:],
     )
 
-    # edge-correction cotangent: corr enters cs2 additively on the four
-    # boundary frames, so dcorr is just those dcs rows
-    dcorr_ref[0:2] = dcs[0:2]
-    dcorr_ref[2:4] = dcs[t - 2 : t]
-    dcorr_ref[4:8] = jnp.zeros((4, dcs.shape[1]), jnp.float32)
-
     # --- analysis backward: transposed slab matmuls, un-framing ---
     gb = dcs.astype(jnp.bfloat16)
     gyp[:] = jnp.zeros_like(gyp)
@@ -176,62 +219,80 @@ def _ad_bwd_kernel(g_ref, pred_ref, nph_ref, mel_ref, y0_ref, y1_ref,
         )
     gy2_ref[:] = gyp[pad_rows : pad_rows + lr, :]
 
+    # reflect-pad backward: the pad rows' cotangents route into the
+    # boundary signal rows through the SAME (symmetric) flip matrices
+    pads = pads_ref[:]
+    h = hop
+    f1, e1 = pads[0:h], pads[h : 2 * h]
+    f2, e2 = pads[2 * h : 3 * h], pads[3 * h : 4 * h]
+    g0 = gyp[0:1, :].astype(jnp.bfloat16)
+    g1 = gyp[1:2, :].astype(jnp.bfloat16)
+    gb0 = gyp[pad_rows + lr : pad_rows + lr + 1, :].astype(jnp.bfloat16)
+    gb1 = gyp[pad_rows + lr + 1 : pad_rows + lr + 2, :].astype(jnp.bfloat16)
+
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.float32)
+
+    gy2_ref[0:1, :] += dot(g1, f1)
+    gy2_ref[1:2, :] += dot(g0, f1) + dot(g1, e1)
+    gy2_ref[2:3, :] += dot(g0, e1)
+    gy2_ref[lr - 3 : lr - 2, :] += dot(gb1, e2)
+    gy2_ref[lr - 2 : lr - 1, :] += dot(gb0, e2) + dot(gb1, f2)
+    gy2_ref[lr - 1 : lr, :] += dot(gb0, f2)
+
 
 def _ad_bwd_impl(g, res):
     (pred, nph, mel, y0, y1, y2r, y3, mu1, r1, rin0, rin1, rin2, rin3,
-     gmu, gr, s, lr, hop, cswt, c) = res
+     gmu, gr, s, lr, hop, cswt, pads, c) = res
     t = nph.shape[0]
-    p2 = nph.shape[1]
     r = cswt.shape[1] // hop
     vs = pl.BlockSpec(memory_space=pltpu.VMEM)
     ss = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _ad_bwd_kernel,
-        in_specs=[vs] * 14 + [ss] * 3 + [vs] * 8,
-        out_specs=[vs, vs],
-        out_shape=[
-            jax.ShapeDtypeStruct((lr, hop), jnp.float32),   # gy2
-            jax.ShapeDtypeStruct((8, p2), jnp.float32),     # dcorr
-        ],
+        in_specs=[vs] * 14 + [ss] * 3 + [vs] * 9,
+        out_specs=vs,
+        out_shape=jax.ShapeDtypeStruct((lr, hop), jnp.float32),
         scratch_shapes=[pltpu.VMEM((t + r - 1, hop), jnp.float32)],
         interpret=_use_interpret(),
     )(g, pred, nph, mel, y0, y1, y2r, y3, mu1, r1, rin0, rin1, rin2, rin3,
-      gmu, gr, s, c.pm, c.w0, c.w1, c.w2, c.w3, c.eot, c.melbt, cswt)
+      gmu, gr, s, c.pm, c.w0, c.w1, c.w2, c.w3, c.eot, c.melbt, cswt, pads)
 
 
 # ------------------------------------------------------------- wrapper ---
 
-def _ad_fwd2(y2, corr, csw, cswt, c):
-    outs = _ad_fwd_impl(y2, corr, csw, c)
+def _ad_fwd2(y2, pads, csw, cswt, c):
+    outs = _ad_fwd_impl(y2, pads, csw, c)
     lr, hop = y2.shape
-    return outs[0][0, :20], (*outs, lr, hop, cswt, c)
+    return outs[0][0, :20], (*outs, lr, hop, cswt, pads, c)
 
 
 def _ad_bwd2(res, g):
-    (*outs, lr, hop, cswt, c) = res
+    (pred, *rest) = res
+    (*_outs, lr, hop, cswt, pads, c) = res
     gpad = jnp.zeros((1, 128), jnp.float32).at[0, :20].set(g)
-    gy2, dcorr = _ad_bwd_impl(gpad, (*outs, lr, hop, cswt, c))
+    gy2 = _ad_bwd_impl(gpad, res)
     zero_c = jax.tree_util.tree_map(jnp.zeros_like, c)
-    return (gy2, dcorr, jnp.zeros_like(cswt).T, jnp.zeros_like(cswt),
-            zero_c)
+    return (gy2, jnp.zeros_like(pads), jnp.zeros_like(cswt).T,
+            jnp.zeros_like(cswt), zero_c)
 
 
-def analysis_detector(y2, corr, csw, cswt, c: DetConsts) -> jnp.ndarray:
+def analysis_detector(y2, pads, csw, cswt, c: DetConsts) -> jnp.ndarray:
     """Fused analysis+detector for ONE clip.
 
     ``y2``: (T-1, hop) f32 normalized signal rows (the synthesis kernel's
-    output); ``corr``: (8, 2P) f32 reflect-pad edge rows
-    (``edge_correction_rows``, rows [frame0, frame1, frameT-2, frameT-1,
-    0...]); ``csw``/``cswt``: bf16 windowed analysis basis and its
-    transpose; ``c``: the packed detector constants.  Returns the (20,)
-    tanh bit values; batch with ``vmap`` (batch -> kernel grid).
+    output); ``pads``: the (4*hop, hop) bf16 reflect-pad flip matrices
+    (``reflect_pad_matrices(hop)``); ``csw``/``cswt``: bf16 windowed
+    analysis basis and its transpose.  Returns the (20,) tanh bit
+    values; batch with ``vmap`` (batch -> kernel grid).  Requires
+    T >= 8 (distinct boundary rows).
     """
-    return _analysis_detector_raw(y2, corr, csw, cswt, c)
+    return _analysis_detector_raw(y2, pads, csw, cswt, c)
 
 
 @jax.custom_vjp
-def _analysis_detector_raw(y2, corr, csw, cswt, c: DetConsts):
-    outs = _ad_fwd_impl(y2, corr, csw, c)
+def _analysis_detector_raw(y2, pads, csw, cswt, c: DetConsts):
+    outs = _ad_fwd_impl(y2, pads, csw, c)
     return outs[0][0, :20]
 
 
@@ -240,22 +301,27 @@ _analysis_detector_raw.defvjp(_ad_fwd2, _ad_bwd2)
 
 # ----------------------------------------------------- pure-jax replica ---
 
-def analysis_detector_reference(y2, corr, csw_f32, c: DetConsts):
+def analysis_detector_reference(y2, csw_f32, c: DetConsts):
     """Op-for-op pure-jax replica (same bf16 casts) for interpret-mode
-    equality and CPU tests: zero-pad framing + slab DFT + corr rows +
-    the detector replica math."""
+    equality and CPU tests: flip-matmul reflect-pad rows + framing +
+    slab DFT + the detector replica math."""
     from aware_tpu.ops.pallas.detector import detector_fused_reference
 
     lr, hop = y2.shape
     t = lr + 1
     r = csw_f32.shape[0] // hop
     pad_rows = r // 2
+    pads = reflect_pad_matrices(hop)
+    y2b = y2.astype(jnp.bfloat16)
+    top0, top1, bot0, bot1 = _pad_rows(y2b, pads, lr, hop)
     yp = jnp.zeros((t + r - 1, hop), jnp.float32)
+    yp = yp.at[0].set(top0[0])
+    yp = yp.at[1].set(top1[0])
     yp = yp.at[pad_rows : pad_rows + lr].set(y2)
-    p2 = corr.shape[1]
-    cs2 = jnp.concatenate(
-        [corr[0:2], jnp.zeros((t - 4, p2), jnp.float32), corr[2:4]], axis=0
-    )
+    yp = yp.at[pad_rows + lr].set(bot0[0])
+    yp = yp.at[pad_rows + lr + 1].set(bot1[0])
+    p2 = csw_f32.shape[1]
+    cs2 = jnp.zeros((t, p2), jnp.float32)
     for k in range(r):
         cs2 = cs2 + jnp.dot(
             yp[k : k + t].astype(jnp.bfloat16),

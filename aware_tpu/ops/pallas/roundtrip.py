@@ -315,34 +315,3 @@ def edge_corrections(y2_flat, csw_k, n_fft, hop, t_frames):
     corr = corr.at[t_frames - 2].add(rp0 @ csw_k[3])
     corr = corr.at[t_frames - 1].add(rp0 @ csw_k[2] + rp1 @ csw_k[3])
     return corr
-
-
-def edge_correction_rows(y2_flat, csw_k, n_fft, hop):
-    """The reflect-pad corrections as a dense (8, 2P) row tensor.
-
-    Same math as :func:`edge_corrections`, but instead of scattering into
-    a full (T, 2P) tensor (a per-iteration HBM round trip), only the four
-    affected frames' rows are built — row 0 = frame 0, row 1 = frame 1,
-    row 2 = frame T-2, row 3 = frame T-1, rows 4-7 zero (sublane-tile
-    padding).  The merged analysis+detector kernel
-    (ops/pallas/analysis_detector.py) seeds its in-VMEM cs2 with these
-    rows; lane reversals stay in XLA.  Differentiable (plain jnp ops).
-    """
-    half = n_fft // 2
-    if half != 2 * hop:
-        raise NotImplementedError("edge corrections assume n_fft//2 == 2*hop")
-    lp0 = y2_flat[half - hop + 1 : half + 1][::-1]
-    lp1 = y2_flat[1 : half - hop + 1][::-1]
-    rp0 = y2_flat[-hop - 1 : -1][::-1]
-    rp1 = y2_flat[-half - 1 : -hop - 1][::-1]
-    rows = jnp.stack(
-        [
-            lp0 @ csw_k[0] + lp1 @ csw_k[1],
-            lp1 @ csw_k[0],
-            rp0 @ csw_k[3],
-            rp0 @ csw_k[2] + rp1 @ csw_k[3],
-        ]
-    )
-    return jnp.concatenate(
-        [rows, jnp.zeros((4, rows.shape[1]), rows.dtype)], axis=0
-    )

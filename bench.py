@@ -44,7 +44,10 @@ def make_clips(batch: int, seconds: float = 10.0, sr: int = 44100) -> np.ndarray
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    # B=256 is the round-3 operating point: the whole-step iteration
+    # kernel made per-clip cost monotone DECREASING in batch
+    # (PERF_PROBE_STEP.json: 61.0 / 66.3 / 69.0 clips/s at B=16/64/256)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--full", action="store_true", help="verify BER too")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()

@@ -4,13 +4,13 @@ the round-2 two-kernel composition and autodiff.
 Runs in interpreter mode on CPU (kernels auto-select); the same code
 compiles to Mosaic on TPU.  Comparison ladder:
 
-1. edge_correction_rows rows == edge_corrections' nonzero rows (exact);
+1. the flip-matmul pad rows == exact bf16-rounded reflect-pad slices;
 2. merged forward ~= band_analysis + edge_corrections + detector_fused
-   (same bf16 operand roundings; only the f32 accumulation order of the
-   four boundary rows differs);
-3. merged forward ~= pure-jax replica;
+   (the composition computes the four boundary frames' pad content in
+   f32 XLA; the merged kernel at bf16 — tolerance covers that);
+3. merged forward ~= bf16-identical pure-jax replica (tight);
 4. merged VJP ~= autodiff of the two-kernel composition (incl. the
-   edge-row routing back into the signal cotangent);
+   reflect-pad routing back into the boundary signal rows);
 5. vmap batches to the kernel grid;
 6. the 25-iteration solve through the merged path lands at the
    unmerged kernel path's loss with 0 BER (outcome level).
@@ -26,8 +26,10 @@ from aware_tpu.config import AwareConfig, in_band_bins
 from aware_tpu.models import init_params
 from aware_tpu.ops.mel import mel_filter_bank
 from aware_tpu.ops.pallas.analysis_detector import (
+    _pad_rows,
     analysis_detector,
     analysis_detector_reference,
+    reflect_pad_matrices,
 )
 from aware_tpu.ops.pallas.detector import (
     P_BAND,
@@ -36,7 +38,6 @@ from aware_tpu.ops.pallas.detector import (
 )
 from aware_tpu.ops.pallas.roundtrip import (
     band_analysis,
-    edge_correction_rows,
     edge_corrections,
 )
 from aware_tpu.ops.stft import rfft_basis
@@ -85,7 +86,7 @@ def y2():
 
 
 def _compose(y2v, csw, cswt, csw_k, consts):
-    """Round-2 path: separate analysis kernel + XLA edge scatter +
+    """Round-2 path: separate analysis kernel + f32 XLA edge scatter +
     standalone detector kernel."""
     yf = y2v.reshape(-1)
     cs2 = band_analysis(y2v, csw, cswt) + edge_corrections(
@@ -94,73 +95,97 @@ def _compose(y2v, csw, cswt, csw_k, consts):
     return detector_fused(cs2, consts)
 
 
-def _merged(y2v, csw, cswt, csw_k, consts):
-    yf = y2v.reshape(-1)
-    corr = edge_correction_rows(yf, csw_k, N_FFT, HOP)
-    return analysis_detector(y2v, corr, csw, cswt, consts)
+def _merged(y2v, csw, cswt, consts):
+    pads = reflect_pad_matrices(HOP)
+    return analysis_detector(y2v, pads, csw, cswt, consts)
 
 
-def test_edge_rows_match_scatter(y2, bases):
-    _, _, csw_k, _ = bases
-    yf = y2.reshape(-1)
-    full = np.asarray(edge_corrections(yf, csw_k, N_FFT, HOP, T))
-    rows = np.asarray(edge_correction_rows(yf, csw_k, N_FFT, HOP))
-    np.testing.assert_array_equal(rows[0], full[0])
-    np.testing.assert_array_equal(rows[1], full[1])
-    np.testing.assert_array_equal(rows[2], full[T - 2])
-    np.testing.assert_array_equal(rows[3], full[T - 1])
-    assert np.all(rows[4:] == 0)
-    # every other frame of the scatter version is zero
-    assert np.all(full[2 : T - 2] == 0)
+def test_pad_rows_are_exact_bf16_reflections(y2):
+    """Each flip-matmul output element is a single bf16 product, so the
+    pad rows equal the bf16-rounded reversed signal slices exactly."""
+    pads = reflect_pad_matrices(HOP)
+    y2b = y2.astype(jnp.bfloat16)
+    top0, top1, bot0, bot1 = (
+        np.asarray(v)[0] for v in _pad_rows(y2b, pads, LR, HOP)
+    )
+    yfb = np.asarray(y2b, np.float32).reshape(-1)
+    half = N_FFT // 2
+    lp = yfb[1 : half + 1][::-1]
+    rp = yfb[-half - 1 : -1][::-1]
+    np.testing.assert_array_equal(top0, lp[:HOP])
+    np.testing.assert_array_equal(top1, lp[HOP:])
+    np.testing.assert_array_equal(bot0, rp[:HOP])
+    np.testing.assert_array_equal(bot1, rp[HOP:])
 
 
 def test_forward_matches_composition(y2, bases, consts):
     csw, cswt, csw_k, _ = bases
     want = np.asarray(_compose(y2, csw, cswt, csw_k, consts))
-    got = np.asarray(_merged(y2, csw, cswt, csw_k, consts))
-    np.testing.assert_allclose(got, want, atol=1e-4)
-    assert np.array_equal(np.sign(got), np.sign(want))
+    got = np.asarray(_merged(y2, csw, cswt, consts))
+    np.testing.assert_allclose(got, want, atol=3e-3)
 
 
 def test_forward_matches_replica(y2, bases, consts):
-    csw, cswt, csw_k, csw_f32 = bases
-    yf = y2.reshape(-1)
-    corr = edge_correction_rows(yf, csw_k, N_FFT, HOP)
-    got = np.asarray(analysis_detector(y2, corr, csw, cswt, consts))
-    want = np.asarray(
-        analysis_detector_reference(y2, corr, csw_f32, consts)
-    )
+    csw, cswt, _, csw_f32 = bases
+    got = np.asarray(_merged(y2, csw, cswt, consts))
+    want = np.asarray(analysis_detector_reference(y2, csw_f32, consts))
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_vjp_matches_composition_autodiff(y2, bases, consts):
-    """End-to-end signal cotangent (incl. the edge-row routing) agrees
-    with autodiff of the two-kernel composition."""
-    csw, cswt, csw_k, _ = bases
+def test_vjp_matches_replica_autodiff(y2, bases, consts):
+    """The closed-form in-kernel backward (incl. the reflect-pad routing)
+    agrees with autodiff of the bf16-identical replica — the
+    apples-to-apples oracle.  Measured: 0.6% max element, cos 0.99998."""
+    csw, cswt, _, csw_f32 = bases
     g = jnp.asarray(
         np.random.default_rng(46).standard_normal(20).astype(np.float32)
     )
-    _, vm = jax.vjp(lambda v: _merged(v, csw, cswt, csw_k, consts), y2)
-    _, vc = jax.vjp(lambda v: _compose(v, csw, cswt, csw_k, consts), y2)
-    dm, dc = vm(g)[0], vc(g)[0]
-    scale = float(jnp.max(jnp.abs(dc)))
-    assert float(jnp.max(jnp.abs(dm - dc))) / scale < 0.02
+    _, vm = jax.vjp(lambda v: _merged(v, csw, cswt, consts), y2)
+    _, vr = jax.vjp(
+        lambda v: analysis_detector_reference(v, csw_f32, consts), y2
+    )
+    dm, dr = vm(g)[0], vr(g)[0]
+    scale = float(jnp.max(jnp.abs(dr)))
+    assert float(jnp.max(jnp.abs(dm - dr))) / scale < 0.02
     cos = float(
-        jnp.sum(dm * dc)
-        / (jnp.linalg.norm(dm.ravel()) * jnp.linalg.norm(dc.ravel()))
+        jnp.sum(dm * dr)
+        / (jnp.linalg.norm(dm.ravel()) * jnp.linalg.norm(dr.ravel()))
     )
     assert cos > 0.999, cos
 
 
-def test_vmap_batches_to_grid(y2, bases, consts):
+def test_vjp_direction_vs_composition(y2, bases, consts):
+    """Against the round-2 composition (f32 XLA edge handling) the merged
+    cotangent agrees in direction; elementwise deviation is bounded by
+    the bf16 forward-residual noise amplified through the norm
+    backwards (measured ~7% of the max element), not a routing error —
+    the replica-autodiff test above pins the routing."""
     csw, cswt, csw_k, _ = bases
+    g = jnp.asarray(
+        np.random.default_rng(46).standard_normal(20).astype(np.float32)
+    )
+    _, vm = jax.vjp(lambda v: _merged(v, csw, cswt, consts), y2)
+    _, vc = jax.vjp(lambda v: _compose(v, csw, cswt, csw_k, consts), y2)
+    dm, dc = vm(g)[0], vc(g)[0]
+    cos = float(
+        jnp.sum(dm * dc)
+        / (jnp.linalg.norm(dm.ravel()) * jnp.linalg.norm(dc.ravel()))
+    )
+    assert cos > 0.995, cos
+    assert float(jnp.max(jnp.abs(dm - dc))) / float(
+        jnp.max(jnp.abs(dc))
+    ) < 0.15
+
+
+def test_vmap_batches_to_grid(y2, bases, consts):
+    csw, cswt, _, _ = bases
     batch = jnp.stack([y2, y2 * 0.6 + 0.01])
-    got = jax.vmap(lambda v: _merged(v, csw, cswt, csw_k, consts))(batch)
+    got = jax.vmap(lambda v: _merged(v, csw, cswt, consts))(batch)
     assert got.shape == (2, 20)
     for i in range(2):
         np.testing.assert_allclose(
             np.asarray(got[i]),
-            np.asarray(_merged(batch[i], csw, cswt, csw_k, consts)),
+            np.asarray(_merged(batch[i], csw, cswt, consts)),
             atol=1e-6,
         )
 

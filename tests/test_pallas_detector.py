@@ -165,10 +165,9 @@ def test_supported_gating():
 
 
 def test_solver_objective_uses_fused_detector(params, speechlike):
-    """With both flags on, the objective jaxpr carries the MERGED
-    analysis+detector kernel (round 3) next to the synthesis kernel;
-    switching use_pallas_detector off keeps the XLA banded forward next
-    to the separate analysis kernel."""
+    """With both flags on, the default (non-EOT) objective jaxpr carries
+    the iteration megakernel; switching use_pallas_detector off keeps
+    the XLA banded forward next to the separate analysis kernel."""
     from aware_tpu.embed.solver import build_problem
 
     wm = jnp.ones((20,), jnp.float32)
@@ -176,14 +175,14 @@ def test_solver_objective_uses_fused_detector(params, speechlike):
     on = AwareConfig().replace(use_pallas_roundtrip=True)
     pb = build_problem(params, clip, wm, on)
     jx = str(jax.make_jaxpr(pb.objective)(pb.coeffs0)).lower()
-    assert jx.count("pallas_call") == 2  # synth + merged analysis/detector
-    assert "_analysis_detector_raw" in jx
+    assert jx.count("pallas_call") == 1  # the iteration megakernel
+    assert "_iteration_raw" in jx
 
     off = on.replace(use_pallas_detector=False)
     pb2 = build_problem(params, clip, wm, off)
     jx2 = str(jax.make_jaxpr(pb2.objective)(pb2.coeffs0)).lower()
     assert jx2.count("pallas_call") == 2  # synth + band_analysis
-    assert "_analysis_detector_raw" not in jx2
+    assert "_iteration_raw" not in jx2
 
 
 def test_solver_outcome_with_fused_detector(params, speechlike):

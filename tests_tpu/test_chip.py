@@ -95,6 +95,42 @@ class TestDetectorKernelOnChip:
 
 # ------------------------------------------------------ roundtrip kernels ---
 
+def test_iteration_megakernel_on_chip(params, speechlike):
+    """Mosaic-compiled whole-iteration megakernel == the two-kernel
+    composition (synth_norm -> analysis_detector), forward and VJP.
+    The CPU suite proves this in interpret mode; this is the compiled
+    check (VMEM fit + lowering + numerics)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "titer",
+        pathlib.Path(__file__).parent.parent / "tests" / "test_iteration.py",
+    )
+    titer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(titer)
+
+    from aware_tpu.ops.pallas.analysis_detector import analysis_detector
+    from aware_tpu.ops.pallas.iteration import iteration_forward
+    from aware_tpu.ops.pallas.roundtrip import synth_norm
+
+    c, ct = titer.make_problem(params, speechlike)
+
+    def compose(v):
+        y2 = synth_norm(v, c.csin, c.y_const, c.env, c.ab, c.abt)
+        return analysis_detector(y2, c.pads, c.csw, c.cswt, c.det)
+
+    got, vm = jax.vjp(jax.jit(lambda v: iteration_forward(v, c)), ct)
+    want, vc = jax.vjp(jax.jit(compose), ct)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    g = jnp.asarray(
+        np.random.default_rng(48).standard_normal(20).astype(np.float32)
+    )
+    dm, dc = np.asarray(vm(g)[0]), np.asarray(vc(g)[0])
+    scale = np.max(np.abs(dc)) + 1e-12
+    np.testing.assert_allclose(dm, dc, atol=1e-5 * scale)
+
+
 def test_roundtrip_kernels_on_chip(params, speechlike, rng):
     """25-iteration kernel-path embed (roundtrip + detector kernels) on
     the chip: 0 BER readback and loss parity with the XLA slab path."""

@@ -72,7 +72,7 @@ def main() -> None:
         # mirror production: kernel paths optimize in the (T, P) carry
         # layout (embed_core does the same)
         if pb.carry is not None:
-            objective_c, to_carry, _ = pb.carry
+            objective_c, to_carry, *_ = pb.carry
             coeffs0 = to_carry(pb.coeffs0)
             lower, upper = to_carry(pb.lower), to_carry(pb.upper)
         else:
