@@ -228,6 +228,12 @@ def main() -> None:
 
     metrics = eval_state(state.e_params, d_params, cfg)
     metrics["final_train"] = history[-1]
+    # subsampled loss curve — lets the next session judge whether the run
+    # was still descending (undertrained) or had plateaued
+    metrics["history_every_100"] = [
+        {k: round(float(v), 5) for k, v in h.items()}
+        for h in history[::100]
+    ]
     print(json.dumps(metrics, indent=2))
     # AMORTIZED_EVAL.json is the all-bundle evidence set, regenerated only
     # by --eval-only; a training run records its own metrics next to it
