@@ -135,6 +135,16 @@ class AwareConfig:
     # the default detector architecture; no effect unless
     # use_pallas_roundtrip is active.
     use_pallas_detector: bool = True
+    # With the merged kernel path active (use_pallas_roundtrip +
+    # use_pallas_detector) and no EOT views, fuse the whole iteration:
+    # the megakernel objective (one kernel per direction), and — when
+    # loss/optimizer match the default card (push_extremes + NAdam) —
+    # the whole-step kernel (forward, loss gradient, backward, NAdam,
+    # clamp, best tracking in ONE program per iteration; the round-3
+    # headline path, docs/PERF_NOTES.md).  False keeps the two-kernel
+    # composition — the debugging / stage-isolation fallback
+    # (tools/kernel_stage_probe.py).
+    use_pallas_iteration: bool = True
     # Slab decomposition of the round trip (requires use_matmul_dft and
     # hop | n_fft): both DFT matmuls split into n_fft/hop hop-wide slabs
     # with shifted row-adds, so no (T, n_fft) frames tensor is ever
@@ -200,7 +210,8 @@ class AwareConfig:
             "num_iterations", "loss", "verbose", "threshold",
             "matmul_precision", "dtype", "scan_unroll",
             "use_matmul_dft", "use_pallas_ola", "use_slab_dft",
-            "use_pallas_roundtrip", "use_pallas_detector", "eot_weight",
+            "use_pallas_roundtrip", "use_pallas_detector",
+            "use_pallas_iteration", "eot_weight",
             "eot_mode", "vad",
         }
         for key in simple & set(card):

@@ -380,7 +380,7 @@ def build_problem(
                             y2r, pads, csw, cswt, det_consts
                         )
 
-                    if eot_loss is None:
+                    if eot_loss is None and cfg.use_pallas_iteration:
                         # no live waveform output needed -> the WHOLE
                         # iteration (synthesis + analysis + detector) runs
                         # as one kernel per direction

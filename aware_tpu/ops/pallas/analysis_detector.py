@@ -268,7 +268,6 @@ def _ad_fwd2(y2, pads, csw, cswt, c):
 
 
 def _ad_bwd2(res, g):
-    (pred, *rest) = res
     (*_outs, lr, hop, cswt, pads, c) = res
     gpad = jnp.zeros((1, 128), jnp.float32).at[0, :20].set(g)
     gy2 = _ad_bwd_impl(gpad, res)

@@ -181,9 +181,13 @@ def _det_fwd_values(cs, melb, pmt, w0t, w1t, w2t, w3t, biases, eo):
 
     re, im = cs[:, :p], cs[:, p:]
     sq = re * re + im * im
-    zero = sq == 0
-    m = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
-    inv = jnp.where(zero, 0.0, 1.0 / jnp.where(zero, 1.0, m))
+    # sqrt(0) = 0 exactly, so the magnitude needs no zero guard; the
+    # sgn(0)=0 gradient convention lives in the guarded rsqrt (the unit
+    # phase is 0 at exactly-zero bins).  One rsqrt replaces the old
+    # sqrt+divide+double-where chain — the VPU passes here sit on the
+    # whole-step kernel's critical path.
+    m = jnp.sqrt(sq)
+    inv = jnp.where(sq == 0, 0.0, jax.lax.rsqrt(sq))
     nph_re = (re * inv).astype(jnp.bfloat16)
     nph_im = (im * inv).astype(jnp.bfloat16)
 
@@ -428,6 +432,9 @@ def detector_fused_reference(cs, c: DetConsts) -> jnp.ndarray:
     p = cs.shape[1] // 2
     re, im = cs[:, :p], cs[:, p:]
     sq = re * re + im * im
+    # guarded form (same VALUES as the kernel's plain sqrt): the replica
+    # is autodiffed by the equivalence tests, so its |.| must keep the
+    # sgn(0)=0 gradient instead of sqrt's inf at zero bins
     zero = sq == 0
     m = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
     mel = jnp.dot(m.astype(jnp.bfloat16), c.melb,

@@ -75,7 +75,8 @@ def _load_amortized(variant: str = "default") -> dict[str, jnp.ndarray]:
 
 
 def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray,
-                    variant: str = "default"):
+                    variant: str = "default",
+                    tolerance_db: float | None = None):
     from aware_tpu.train.adversarial import embedder_apply
 
     cfg = model.cfg
@@ -87,9 +88,10 @@ def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray
         stft(peak_normalize(jnp.asarray(audio, jnp.float32)),
              cfg.frame_length, cfg.hop_length, window)
     )
+    tol = cfg.tolerance_db if tolerance_db is None else float(tolerance_db)
     band = embedder_apply(
         _load_amortized(variant), mag[lo:hi], jnp.asarray(pattern, jnp.float32),
-        cfg.tolerance_db, band_phase=phase[lo:hi],
+        tol, band_phase=phase[lo:hi],
     )
     return band, mag, phase, lo, hi, window
 
@@ -100,8 +102,17 @@ def embed_watermark_oneshot(
     watermark_bits,
     model: AWAREEmbedder,
     variant: str = "default",
+    tolerance_db: float | None = None,
 ) -> np.ndarray:
-    """One-forward-pass embed (amortized network; no optimization loop)."""
+    """One-forward-pass embed (amortized network; no optimization loop).
+
+    ``tolerance_db`` overrides the per-coefficient box for THIS one-shot
+    embed only (the bundle's tanh output scales with the box, so a
+    smaller dB value spends more perturbation energy for lower BER —
+    measured accuracy/SNR curve in AMORTIZED_TOLERANCE_SWEEP.json; at
+    2-3 dB the one-shot SNR matches the full solver's ~10 dB mean).
+    None keeps the card's budget.
+    """
     from aware_tpu.ops.stft import istft, polar
 
     pattern = _validate_pattern(
@@ -112,7 +123,9 @@ def embed_watermark_oneshot(
         raise ValueError("one-shot embed operates at the model rate (16 kHz)")
     mono = np.asarray(audio, np.float32)
     mx = np.max(mono)
-    band, mag, phase, lo, hi, window = _amortized_band(model, mono, pattern, variant)
+    band, mag, phase, lo, hi, window = _amortized_band(
+        model, mono, pattern, variant, tolerance_db
+    )
     wmag = jnp.concatenate([mag[:lo], band, mag[hi:]], axis=0)
     out = peak_normalize(
         istft(polar(wmag, phase), cfg.frame_length, cfg.hop_length, window)

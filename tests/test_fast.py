@@ -34,6 +34,30 @@ def test_oneshot_embed(model, speechlike):
     assert snr > 12.0
 
 
+def test_oneshot_tolerance_override(model, speechlike):
+    """A smaller tolerance_db spends more perturbation energy (the tanh
+    output scales with the box): SNR drops measurably, the mark still
+    detects, and the card's own budget is untouched
+    (AMORTIZED_TOLERANCE_SWEEP.json is the measured accuracy curve)."""
+    embedder, detector = model
+    wm6 = embed_watermark_oneshot(speechlike, 16000, BITS, embedder)
+    wm2 = embed_watermark_oneshot(
+        speechlike, 16000, BITS, embedder, tolerance_db=2.0
+    )
+
+    def snr(w):
+        n = min(len(w), len(speechlike))
+        return 10 * np.log10(
+            np.mean(speechlike[:n] ** 2)
+            / np.mean((w[:n] - speechlike[:n]) ** 2)
+        )
+
+    assert snr(wm2) < snr(wm6) - 1.0
+    detected = detect_watermark(wm2, 16000, detector)
+    assert float(np.mean(detected != BITS)) * 100 <= 25.0
+    assert embedder.cfg.tolerance_db == 6.0  # card budget untouched
+
+
 @pytest.mark.slow
 def test_turbo_embed_zero_ber(model, speechlike):
     embedder, detector = model

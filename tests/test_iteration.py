@@ -262,6 +262,14 @@ def test_solver_uses_megakernel_without_eot(params, speechlike):
     assert "_iteration_raw" not in jx2
     assert "_analysis_detector_raw" in jx2
 
+    # the explicit opt-out keeps the two-kernel composition too
+    off = on.replace(use_pallas_iteration=False)
+    pb3 = build_problem(params, clip, wm, off)
+    assert pb3.carry[3] is None
+    jx3 = str(jax.make_jaxpr(pb3.carry[0])(pb3.carry[1](pb3.coeffs0))).lower()
+    assert "_iteration_raw" not in jx3
+    assert "_analysis_detector_raw" in jx3
+
 
 def test_solver_outcome_with_megakernel(params, speechlike):
     """25-iteration embed through the megakernel reads back 0 BER and

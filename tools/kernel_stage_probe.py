@@ -60,8 +60,13 @@ def main() -> None:
     from aware_tpu.models import init_params
     from aware_tpu.ops.resample import resample_poly
 
+    # stage isolation runs the two-kernel COMPOSITION (synth kernel +
+    # merged analysis/detector) — the production default is the fused
+    # whole-step kernel (use_pallas_iteration, PERF_PROBE_STEP.json),
+    # which has no interior seams to isolate
     cfg = AwareConfig().replace(
-        matmul_precision="default", scan_unroll=2, use_pallas_roundtrip=True
+        matmul_precision="default", scan_unroll=2,
+        use_pallas_roundtrip=True, use_pallas_iteration=False,
     )
     params = {
         k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()
