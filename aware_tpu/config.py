@@ -177,6 +177,8 @@ class AwareConfig:
             raise ValueError(f"Invalid window type: {self.window}")
         if self.vad not in ("spectral", "webrtc_gmm"):
             raise ValueError(f"Invalid vad gate: {self.vad}")
+        if self.eot_mode not in ("all", "cycle"):
+            raise ValueError(f"Invalid eot_mode: {self.eot_mode}")
         for field in ("optimizer_params", "scheduler_params",
                       "embedding_bands", "eot_stretch_rates",
                       "eot_pitch_cents"):

@@ -194,6 +194,15 @@ def build_problem(
             # gets num_iterations/n_views gradient visits.  Measured
             # (EOT_SWEEP.json): the dense cycle beats the round-2 4-view
             # "all" card on BOTH desync BER and embed cost.
+            #
+            # Known bias: the per-iteration loss depends on which view the
+            # rotation landed on, so the best-snapshot compare (the
+            # loss < best_loss tracking below) compares non-commensurable
+            # totals across iterations, favoring iterations whose rotating
+            # view happened to be easy.  Outcome-validated as harmless
+            # (EOT_SWEEP.json: cycle wins on desync BER end-to-end); if it
+            # ever matters, track the base (clean-view) loss separately
+            # for the snapshot compare.
             branches = [
                 (lambda y, _k=k, _v=v: _view_loss(y, _k, _v))
                 for k, v in eot_views
@@ -354,7 +363,7 @@ def build_problem(
                     and cfg.use_pallas_detector
                     and P == P_BAND
                     and t_frames >= 8  # distinct reflect-pad boundary rows
-                    and fused_detector_supported(net_cfg, nb, t_frames)
+                    and fused_detector_supported(net_cfg, nb, t_frames, n_fft)
                 ):
                     det_consts = fused_detector_consts(
                         params,

@@ -139,16 +139,21 @@ def fused_detector_consts(params, basis: np.ndarray, lo: int, hi: int,
     )
 
 
-def fused_detector_supported(cfg, nb: int, t_frames: int) -> bool:
+def fused_detector_supported(cfg, nb: int, t_frames: int,
+                             n_fft: int | None = None) -> bool:
     """Whether the fused kernels implement this detector configuration.
 
     Anything else (exotic activations, non-instance norms, overlapping
     pools, channel counts off the lane grid, clips whose working set
-    exceeds VMEM) falls back to the XLA banded forward.
+    exceeds VMEM, or a detector net whose own n_fft disagrees with the
+    solver's frame geometry — fused_detector_consts builds the mel bank
+    from the solver's n_fft, so a mismatch would silently diverge from
+    detector_apply_banded) falls back to the XLA banded forward.
     """
     ch_ok = all(c % 128 == 0 for c in cfg.channels[:-1])
     return (
-        cfg.norm_layer == "instance"
+        (n_fft is None or cfg.n_fft == n_fft)
+        and cfg.norm_layer == "instance"
         and cfg.activation == "leaky_relu"
         and cfg.final_activation == "tanh"
         and cfg.initial_pool_size == 2
@@ -181,20 +186,26 @@ def _det_fwd_values(cs, melb, pmt, w0t, w1t, w2t, w3t, biases, eo):
 
     re, im = cs[:, :p], cs[:, p:]
     sq = re * re + im * im
-    # sqrt(0) = 0 exactly, so the magnitude needs no zero guard; the
-    # sgn(0)=0 gradient convention lives in the guarded rsqrt (the unit
-    # phase is 0 at exactly-zero bins).  One rsqrt replaces the old
-    # sqrt+divide+double-where chain — the VPU passes here sit on the
-    # whole-step kernel's critical path.
-    m = jnp.sqrt(sq)
+    # The sgn(0)=0 gradient convention lives in the guarded rsqrt (the
+    # unit phase is 0 at exactly-zero bins); the magnitude reuses it as
+    # sq*rsqrt(sq) (= sqrt(sq) to 1 ulp, 0 exactly at 0), saving a
+    # second transcendental — the VPU passes here sit on the whole-step
+    # kernel's critical path.
     inv = jnp.where(sq == 0, 0.0, jax.lax.rsqrt(sq))
+    m = sq * inv
     nph_re = (re * inv).astype(jnp.bfloat16)
     nph_im = (im * inv).astype(jnp.bfloat16)
 
     mel = jnp.dot(m.astype(jnp.bfloat16), melb,
                   preferred_element_type=jnp.float32)      # (T, 128)
 
-    # InstanceNorm1d over time, biased variance (reference conv1d.py norm)
+    # InstanceNorm1d over time, biased variance (reference conv1d.py
+    # norm).  Two-pass (subtract-then-square) variance on purpose: the
+    # one-pass E[x^2]-mu^2 form was tried for the round-4 headroom item
+    # and REVERTED — on the single serialized VPU core it saves no op
+    # count (still 2 reductions + the same elementwise), only a
+    # dependency edge, while its cancellation amplified kernel-vs-
+    # replica accumulation noise ~10x (1e-4 -> 1.5e-3-scale VJP drift).
     mu1 = jnp.mean(mel, axis=0, keepdims=True)             # (1, 128)
     var1 = jnp.mean((mel - mu1) ** 2, axis=0, keepdims=True)
     r1 = jax.lax.rsqrt(var1 + _IN_EPS)
@@ -209,10 +220,12 @@ def _det_fwd_values(cs, melb, pmt, w0t, w1t, w2t, w3t, biases, eo):
     gr = 1.0 / (s + _GS_EPS)
     b_full = (a - gmu) * gr
 
-    # AvgPool1d(2, 2) as a matmul (the pool matrix drops a trailing odd
-    # frame exactly like torch's floor division)
-    x = jnp.dot(pmt, b_full.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)        # (T2, 128)
+    # AvgPool1d(2, 2) as strided sublane adds (torch floor-division drop
+    # of a trailing odd frame = the [:2*t2] bound); replaces the
+    # (T2, T) pool matmul — f32 adds, strictly more accurate than the
+    # old bf16 matmul form
+    t2 = pmt.shape[0]
+    x = (b_full[0 : 2 * t2 : 2] + b_full[1 : 2 * t2 : 2]) * 0.5
 
     wts = (w0t, w1t, w2t, w3t)
     ys, rins = [], []
@@ -327,8 +340,11 @@ def _det_bwd_values(g, pred, nph, mel_bf, ys, mu1, r1, rins, gmu, gr, s,
         dx = jnp.dot(dh.astype(jnp.bfloat16), ws[i],
                      preferred_element_type=jnp.float32)   # (T2, C_in)
 
-    # pool backward: scatter halves back to frame rows
-    db = jnp.dot(pm, dx.astype(jnp.bfloat16),
+    # pool backward: scatter halves back to frame rows.  f32 operands —
+    # the pm entries (0.5/0) are bf16-exact, and keeping dx unrounded
+    # makes this the exact adjoint of the forward's f32 strided pool
+    # (matches the replica's autodiff; the matmul is tiny)
+    db = jnp.dot(pm.astype(jnp.float32), dx,
                  preferred_element_type=jnp.float32)       # (T, 128)
 
     # GlobalStandardize backward
@@ -432,11 +448,13 @@ def detector_fused_reference(cs, c: DetConsts) -> jnp.ndarray:
     p = cs.shape[1] // 2
     re, im = cs[:, :p], cs[:, p:]
     sq = re * re + im * im
-    # guarded form (same VALUES as the kernel's plain sqrt): the replica
-    # is autodiffed by the equivalence tests, so its |.| must keep the
-    # sgn(0)=0 gradient instead of sqrt's inf at zero bins
+    # guarded double-where form (same VALUES as the kernel's
+    # sq*rsqrt(sq)): the replica is autodiffed by the equivalence tests,
+    # so its |.| must keep the sgn(0)=0 gradient — the inner where stops
+    # rsqrt's -inf derivative at zero bins from NaN-ing the cotangent
     zero = sq == 0
-    m = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+    inv = jnp.where(zero, 0.0, jax.lax.rsqrt(jnp.where(zero, 1.0, sq)))
+    m = sq * inv
     mel = jnp.dot(m.astype(jnp.bfloat16), c.melb,
                   preferred_element_type=jnp.float32)
     mu1 = jnp.mean(mel, axis=0, keepdims=True)
@@ -445,9 +463,9 @@ def detector_fused_reference(cs, c: DetConsts) -> jnp.ndarray:
     n_el = mel.size
     gmu = jnp.mean(a)
     gvar = jnp.sum((a - gmu) ** 2) / (n_el - 1)
-    b_full = (a - gmu) / (jnp.sqrt(gvar) + _GS_EPS)
-    x = jnp.dot(c.pmt, b_full.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
+    b_full = (a - gmu) * (1.0 / (jnp.sqrt(gvar) + _GS_EPS))
+    t2 = c.pmt.shape[0]
+    x = (b_full[0 : 2 * t2 : 2] + b_full[1 : 2 * t2 : 2]) * 0.5
     wts = (c.w0t, c.w1t, c.w2t, c.w3t)
     for i in range(4):
         c_out = CH[i + 1]

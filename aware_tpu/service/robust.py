@@ -30,6 +30,11 @@ detector forward (`detector_apply_masked`), whose statistics ignore
 padding.  One dispatch replaces per-candidate sequential detect calls —
 measured on the real chip (2 s clip): 146-200 ms/clip fused vs ~198 ms
 *per dispatch* sequential, a 25-50x latency win.
+
+API note (round 3, pre-1.0 break): ``detect_watermark_robust(...,
+return_confidence=True)`` returns a 4-field :class:`RobustDetection`
+NamedTuple; earlier rounds returned a 3-tuple ``(bits, signed_rate,
+conf)``.  Callers unpacking three values must switch to named fields.
 """
 
 from __future__ import annotations

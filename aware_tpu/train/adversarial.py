@@ -391,6 +391,16 @@ class TrainConfig:
     # a gentler detector keeps the keyed structure from being destroyed
     # before the embedder can follow.
     detector_lr: float | None = None
+    # detection-loss shape: "push_extremes" is the solver's default-card
+    # objective; "margin" is squared hinge on the per-bit agreement
+    # a = pred*target — mean(relu(margin_target - a)^2) — which keeps a
+    # gradient on every bit until its tanh readout clears the margin.
+    # Round-3 diagnosis motivating it: the U-Net's soft_ber sat near 0.5
+    # even at low hard BER (marks correct but WEAK); push_extremes'
+    # -0.1*mean|pred| bonus is sign-agnostic and lets confidently-wrong
+    # bits ride, while the margin keeps pushing them across zero.
+    det_loss: str = "push_extremes"
+    margin_target: float = 0.5
     steps: int = 1000
     embedder: AmortizedEmbedderConfig = dataclasses.field(
         default_factory=AmortizedEmbedderConfig
@@ -445,6 +455,7 @@ def init_train_state(
 def _clip_loss(
     cfg, e_params, d_params, audio, pattern, key, desync=False,
     dual_view=False, stretch_rates=DESYNC_STRETCH_RATES,
+    det_loss_kind="push_extremes", margin_target=0.5,
 ):
     """One clip's adversarial loss (vmapped over the batch)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
@@ -482,10 +493,18 @@ def _clip_loss(
     def _push_extremes(pred):
         return jnp.mean((pred - pattern) ** 2) - 0.1 * jnp.mean(jnp.abs(pred))
 
+    def _margin(pred):
+        # squared hinge on per-bit agreement: zero once pred*target clears
+        # margin_target, quadratic below — weak-but-correct bits (the
+        # round-3 U-Net failure mode) keep a restoring gradient.
+        a = pred * pattern
+        return jnp.mean(jnp.square(jax.nn.relu(margin_target - a)))
+
+    _det_objective = _margin if det_loss_kind == "margin" else _push_extremes
     pred = _detect(attacked)
-    det_loss = _push_extremes(pred)
+    det_loss = _det_objective(pred)
     if dual_view:
-        det_loss = 0.5 * (det_loss + _push_extremes(_detect(wm_audio)))
+        det_loss = 0.5 * (det_loss + _det_objective(_detect(wm_audio)))
     percept = jnp.mean((jnp.log1p(band_new) - jnp.log1p(band)) ** 2)
     soft_ber = jnp.mean(jax.nn.sigmoid(-4.0 * pred * pattern))
     hard_ber = jnp.mean((pred * pattern <= 0).astype(jnp.float32))
@@ -507,6 +526,8 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
                 cfg, e_params, d_params, a, p, k,
                 desync=tcfg.desync_attacks, dual_view=tcfg.dual_view,
                 stretch_rates=tcfg.stretch_rates,
+                det_loss_kind=tcfg.det_loss,
+                margin_target=tcfg.margin_target,
             )
         )(audios, patterns, keys)
         loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)

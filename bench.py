@@ -12,6 +12,16 @@ vs_baseline is relative to the measured PyTorch-reference CPU oracle
 machine's single CPU core).
 
 Usage: python bench.py [--batch 32] [--full]  (--full adds a BER check)
+
+Tunnel resilience (round-4): the axon TPU tunnel is reached over the
+network and has real outages (round 3's driver capture died with
+"Unable to initialize backend 'axon'").  JAX caches a failed backend
+init for the life of the process, so retries only help in FRESH
+processes: the default entry point therefore (1) pre-flight-probes the
+device in a subprocess with bounded backoff, then (2) runs the actual
+benchmark as a --_worker subprocess, retrying on backend-unavailable
+signatures and on hangs.  --_worker (or --no-retry) runs the old
+single-process behavior.
 """
 
 from __future__ import annotations
@@ -20,12 +30,98 @@ import argparse
 import json
 import os
 import pathlib
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
+
+# substrings that identify a transient tunnel/backend failure (vs a real bug)
+_BACKEND_ERR_MARKERS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+    "Socket closed",
+    "Connection reset",
+)
+
+# backoff sleeps between pre-flight attempts.  Worst case (tunnel hard
+# down, every probe hanging to its timeout) is bounded at ~30 min total —
+# long enough to ride out a flap, short enough for a driver capture window.
+_BACKOFF = (0, 15, 60, 120, 180)
+_PROBE_TIMEOUT = 300  # s; first device init through the tunnel can be slow
+_WORKER_TIMEOUT = 3000  # s; covers a cold ~10 min Mosaic compile with margin
+
+
+def _is_transient(text: str) -> bool:
+    return any(m in text for m in _BACKEND_ERR_MARKERS)
+
+
+def _preflight() -> None:
+    """Probe the TPU in fresh subprocesses until it answers (bounded)."""
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "d = jax.devices(); x = jnp.ones((8, 8));"
+        "np.asarray(x + x); print('preflight ok:', d[0])"
+    )
+    last = ""
+    for i, sleep_s in enumerate(_BACKOFF):
+        if sleep_s:
+            print(f"# preflight retry {i}/{len(_BACKOFF) - 1} in {sleep_s}s",
+                  file=sys.stderr)
+            time.sleep(sleep_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=_PROBE_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{_PROBE_TIMEOUT}s (tunnel stall)"
+            print(f"# {last}", file=sys.stderr)
+            continue
+        if r.returncode == 0:
+            print(f"# {r.stdout.strip()}", file=sys.stderr)
+            return
+        last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+        last = last[0]
+        print(f"# preflight failed: {last}", file=sys.stderr)
+        if not _is_transient(r.stderr + r.stdout):
+            break  # a real error — retrying a fresh process won't change it
+    raise SystemExit(
+        f"bench.py: TPU backend unavailable after {len(_BACKOFF)} pre-flight "
+        f"attempts (last: {last}). The axon tunnel is down; re-run when it "
+        "recovers."
+    )
+
+
+def _supervise(argv: list[str]) -> None:
+    """Pre-flight, then run the bench worker with retry on transient death."""
+    _preflight()
+    cmd = [sys.executable, os.path.abspath(__file__), "--_worker", *argv]
+    for attempt in range(3):
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=_WORKER_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            print(f"# worker hung >{_WORKER_TIMEOUT}s; retrying",
+                  file=sys.stderr)
+            _preflight()
+            continue
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0:
+            sys.stdout.write(r.stdout)  # the one JSON line
+            return
+        if attempt < 2 and _is_transient(r.stderr + r.stdout):
+            print("# transient backend failure; re-probing and retrying",
+                  file=sys.stderr)
+            _preflight()
+            continue
+        sys.stdout.write(r.stdout)
+        raise SystemExit(r.returncode)
+    raise SystemExit("bench.py: worker failed 3 attempts")
 
 
 def make_clips(batch: int, seconds: float = 10.0, sr: int = 44100) -> np.ndarray:
@@ -50,7 +146,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--full", action="store_true", help="verify BER too")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--_worker", action="store_true",
+                    help="internal: run the bench in this process")
+    ap.add_argument("--no-retry", action="store_true",
+                    help="skip the pre-flight/retry supervisor")
     args = ap.parse_args()
+
+    if not (args._worker or args.no_retry):
+        _supervise([a for a in sys.argv[1:]])
+        return
 
     import jax
 

@@ -118,6 +118,17 @@ def test_vad_card_flag_selects_gate(speechlike):
         AwareConfig(vad="nope")
 
 
+def test_config_field_validation():
+    from aware_tpu.config import AwareConfig
+
+    with pytest.raises(ValueError, match="Invalid eot_mode"):
+        AwareConfig(eot_mode="cylce")
+    with pytest.raises(ValueError, match="Invalid vad gate"):
+        AwareConfig(vad="nope")
+    with pytest.raises(ValueError, match="Invalid window"):
+        AwareConfig(window="blackman")
+
+
 def test_vad_gate_semantics(speechlike, rng):
     assert not is_silent(speechlike, 16000)
     assert is_silent(np.zeros(16000, np.float32), 16000)

@@ -35,6 +35,69 @@ def pytest_collection_modifyitems(config, items):
         item.add_marker(pytest.mark.tpu)
 
 
+# ------------------------------------------------------- result artifact ---
+# Every chip-tier run leaves an auditable record (pass/fail per test,
+# kernel-path flags, jax/backend versions, git rev) so a green run on the
+# final kernels is provable after the fact.  Output path overridable via
+# AWARE_TIER_OUT (default: repo-root TPU_TIER.json).
+
+_RESULTS: dict[str, str] = {}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call" or (report.when == "setup" and report.skipped):
+        _RESULTS[report.nodeid] = report.outcome
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import datetime
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.environ.get("AWARE_TIER_OUT", os.path.join(repo, "TPU_TIER.json"))
+    try:
+        rev = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    try:
+        devs = [str(d) for d in jax.devices()]
+    except Exception as e:  # backend down — record that too
+        devs = [f"unavailable: {e}"]
+    counts = {
+        k: sum(1 for v in _RESULTS.values() if v == k)
+        for k in ("passed", "failed", "skipped")
+    }
+    from aware_tpu.config import AwareConfig
+
+    cfg = AwareConfig()
+    record = {
+        "suite": "tests_tpu",
+        "timestamp_utc": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
+        "git_rev": rev,
+        "exitstatus": int(exitstatus),
+        "counts": counts,
+        "results": _RESULTS,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": devs,
+        "kernel_flags": {
+            "use_pallas_roundtrip_default": cfg.use_pallas_roundtrip,
+            "use_pallas_detector_default": cfg.use_pallas_detector,
+            "use_pallas_iteration_default": cfg.use_pallas_iteration,
+            "use_slab_dft_default": cfg.use_slab_dft,
+        },
+    }
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"\nchip-tier artifact written: {out}")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def require_tpu():
     if jax.default_backend() not in ("tpu", "axon"):

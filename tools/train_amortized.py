@@ -171,6 +171,16 @@ def main() -> None:
                     default=[96, 192, 384])
     ap.add_argument("--dual-view", action="store_true",
                     help="detection loss on clean AND attacked views")
+    ap.add_argument("--det-loss", choices=("push_extremes", "margin"),
+                    default="push_extremes",
+                    help="margin = squared hinge on pred*target (round-4 "
+                         "fix for weak-mark collapse: soft_ber~0.5 at low "
+                         "hard BER)")
+    ap.add_argument("--margin-target", type=float, default=0.5)
+    ap.add_argument("--step-offset", type=int, default=0,
+                    help="offset the clip sampler + pattern rng so chained "
+                         "<=4000-step segments (--init from the previous "
+                         "segment's npz) see fresh data")
     ap.add_argument("--out", default="amortized_new.npz",
                     help="output bundle filename under models/_key/ — "
                          "deliberately NOT a shipped bundle name; rename "
@@ -195,6 +205,8 @@ def main() -> None:
         lambda_percept=args.lambda_percept,
         steps=args.steps,
         dual_view=args.dual_view,
+        det_loss=args.det_loss,
+        margin_target=args.margin_target,
         embedder=AmortizedEmbedderConfig(
             hidden=tuple(args.hidden), phase_conditioned=args.phase,
             arch=args.arch, unet_channels=tuple(args.unet_channels),
@@ -205,10 +217,14 @@ def main() -> None:
 
         def sampler(step: int) -> np.ndarray:
             return np.stack(
-                [diverse_clip(step * args.batch + i) for i in range(args.batch)]
+                [diverse_clip((args.step_offset + step) * args.batch + i)
+                 for i in range(args.batch)]
             )
     else:
-        sampler = clip_sampler(args.batch)
+        base_sampler = clip_sampler(args.batch)
+
+        def sampler(step: int) -> np.ndarray:
+            return base_sampler(args.step_offset + step)
 
     init_override = None
     if args.init:
@@ -216,7 +232,7 @@ def main() -> None:
             init_override = {k: jnp.asarray(z[k]) for k in z.files}
 
     state, history = train_amortized_embedder(
-        cfg, tcfg, d_params, sampler, seed=1,
+        cfg, tcfg, d_params, sampler, seed=1 + args.step_offset,
         checkpoint_dir=str(OUT_DIR / "amortized_ckpt"),
         init_e_params=init_override,
     )
