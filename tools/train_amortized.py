@@ -185,9 +185,27 @@ def main() -> None:
                     help="output bundle filename under models/_key/ — "
                          "deliberately NOT a shipped bundle name; rename "
                          "after validating (fast.py _VARIANTS)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tunnel-outage training; "
+                         "JAX_PLATFORMS env is ignored by this jax build, "
+                         "jax.config is the only reliable override)")
+    ap.add_argument("--tolerance-db", type=float, default=None,
+                    help="train at a non-default perturbation box (smaller "
+                         "dB = wider box; the tol-3 bundles in "
+                         "AMORTIZED_TOLERANCE_SWEEP.json used 3.0). The "
+                         "SERVICE can widen the box at inference "
+                         "(embed_watermark_oneshot tolerance_db=...), but "
+                         "training at the deployed box keeps the tanh "
+                         "output scale matched to it")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     cfg = AwareConfig()
+    if args.tolerance_db is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, tolerance_db=args.tolerance_db)
     d_params = {k: jnp.asarray(v) for k, v in init_params(cfg.detection_net).items()}
 
     npz_path = OUT_DIR / args.out
