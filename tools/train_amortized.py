@@ -119,25 +119,39 @@ def eval_all_bundles(d_params, cfg, n_clips=6) -> dict:
     {in-distribution, off-distribution} held-out material, plus an explicit
     warm-start verdict derived from the iso-iteration grid."""
     results: dict[str, dict] = {}
-    for variant, fname in (("default", "amortized_v1.npz"),
-                           ("diverse", "amortized_v1_diverse.npz"),
-                           ("unet", "amortized_unet_speech.npz"),
-                           ("unet_diverse", "amortized_unet_diverse.npz")):
+    # (variant, bundle file, tolerance_db or None=card default).  The tol-3
+    # entries are evaluated at the box width they were trained for — the
+    # tanh output scale is matched to the box, so evaluating them at the
+    # default 6 dB box would understate both their energy and their BER
+    # (AMORTIZED_TOLERANCE_SWEEP.json maps the knob).
+    for variant, fname, tol in (
+        ("default", "amortized_v1.npz", None),
+        ("diverse", "amortized_v1_diverse.npz", None),
+        ("unet", "amortized_unet_speech.npz", None),
+        ("unet_diverse", "amortized_unet_diverse.npz", None),
+        ("diverse_tol3", "amortized_v2_diverse_tol3_lp01.npz", 3.0),
+        ("diverse_tol3_margin", "amortized_v2_diverse_tol3_margin.npz", 3.0),
+    ):
         path = OUT_DIR / fname
         if not path.exists():
             continue
         with np.load(path) as z:
             e_params = {k: jnp.asarray(z[k]) for k in z.files}
+        c = cfg if tol is None else cfg.replace(tolerance_db=tol)
         results[variant] = {
-            fam: eval_state(e_params, d_params, cfg, n_clips=n_clips,
+            fam: eval_state(e_params, d_params, c, n_clips=n_clips,
                             family=fam)
             for fam in ("speech", "diverse")
         }
+        if tol is not None:
+            results[variant]["tolerance_db"] = tol
     # Warm-start verdict: max BER improvement (pp) of warm over cold at any
     # iso-iteration point, across bundles and families.
     gains = []
     for bundles in results.values():
         for m in bundles.values():
+            if not isinstance(m, dict):  # per-bundle tolerance_db tag
+                continue
             for k in ITER_GRID:
                 gains.append(m[f"cold{k}_ber"] - m[f"warm{k}_ber"])
     results["warm_start_verdict"] = {
