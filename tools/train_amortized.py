@@ -130,7 +130,10 @@ def eval_all_bundles(d_params, cfg, n_clips=6) -> dict:
         ("unet", "amortized_unet_speech.npz", None),
         ("unet_diverse", "amortized_unet_diverse.npz", None),
         ("diverse_tol3", "amortized_v2_diverse_tol3_lp01.npz", 3.0),
-        ("diverse_tol3_margin", "amortized_v2_diverse_tol3_margin.npz", 3.0),
+        # the U-Net margin chain's latest segment (the live round-4
+        # direction; renamed to amortized_unet_diverse.npz on convergence)
+        ("unet_diverse_margin", "amortized_unet_diverse_margin_cpu2.npz",
+         None),
     ):
         path = OUT_DIR / fname
         if not path.exists():
