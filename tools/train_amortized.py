@@ -176,6 +176,10 @@ def main() -> None:
     ap.add_argument("--lambda-percept", type=float, default=0.3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[384, 384])
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--eval-clips", type=int, default=6,
+                    help="held-out clips per family for --eval-only (the "
+                         "gate artifact; 12+ halves the binomial noise of "
+                         "the small default)")
     ap.add_argument("--init", default=None, help="npz to warm-start from")
     ap.add_argument("--diverse", action="store_true",
                     help="train on the mixed clip families (OOD robustness)")
@@ -227,7 +231,7 @@ def main() -> None:
 
     npz_path = OUT_DIR / args.out
     if args.eval_only:
-        metrics = eval_all_bundles(d_params, cfg)
+        metrics = eval_all_bundles(d_params, cfg, n_clips=args.eval_clips)
         print(json.dumps(metrics, indent=2))
         (pathlib.Path(__file__).parent.parent / "AMORTIZED_EVAL.json").write_text(
             json.dumps(metrics, indent=2)
