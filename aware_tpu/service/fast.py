@@ -48,23 +48,34 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 #   "default": adversarial-only training on one speech family — ~1% BER on
 #              matching material, degrades off-distribution;
 #   "diverse": fine-tuned on four mixed clip families — more uniform
-#              (4-18% across families) at some cost on the original family.
-_VARIANTS = {
-    "default": _AMORTIZED_PATH,
-    "diverse": _KEY_DIR / "amortized_v1_diverse.npz",
+#              (4-18% across families) at some cost on the original family;
+#   "diverse_tol2": the round-4 gate bundle — the diverse MLP chain
+#              continued at a tol-3 box and DEPLOYED at tol-2 (its
+#              second entry), where its 12-clip held-out diverse BER is
+#              the best one-shot measured (AMORTIZED_CHAIN_STATUS.json).
+#              A non-None tolerance entry is the bundle's trained/rated
+#              box width, applied automatically unless the caller
+#              overrides tolerance_db (the tanh output scale is matched
+#              to the box, so running such a bundle at the card's
+#              default 6 dB box understates both its energy and its
+#              accuracy — AMORTIZED_TOLERANCE_SWEEP.json).
+_VARIANTS: dict[str, tuple[pathlib.Path, float | None]] = {
+    "default": (_AMORTIZED_PATH, None),
+    "diverse": (_KEY_DIR / "amortized_v1_diverse.npz", None),
+    "diverse_tol2": (_KEY_DIR / "amortized_v2_diverse_tol3_lp005b.npz", 2.0),
     # NOTE: there is deliberately no solver-distilled bundle.  Two
     # attempts (magnitude-only round 1; phase-conditioned with a
     # detector-visible post-roundtrip loss, round 2) both memorize the
     # training corpus yet stay at chance on held-out clips
     # (DISTILL_EVAL.json) — the solver's per-clip optimum appears
     # chaotic/clip-specific, so one-shot quality comes from adversarial
-    # training only (the v1 bundles above).
+    # training only (the bundles above).
 }
 
 
 @functools.lru_cache(maxsize=4)
 def _load_amortized(variant: str = "default") -> dict[str, jnp.ndarray]:
-    path = _VARIANTS.get(variant)
+    path, _ = _VARIANTS.get(variant, (None, None))
     if path is None or not path.exists():
         raise FileNotFoundError(
             f"amortized bundle {variant!r} missing — train it with "
@@ -88,6 +99,10 @@ def _amortized_band(model: AWAREEmbedder, audio: np.ndarray, pattern: np.ndarray
         stft(peak_normalize(jnp.asarray(audio, jnp.float32)),
              cfg.frame_length, cfg.hop_length, window)
     )
+    # resolution order: explicit override > the variant's trained box
+    # width (see _VARIANTS) > the card's tolerance_db
+    if tolerance_db is None:
+        tolerance_db = _VARIANTS.get(variant, (None, None))[1]
     tol = cfg.tolerance_db if tolerance_db is None else float(tolerance_db)
     band = embedder_apply(
         _load_amortized(variant), mag[lo:hi], jnp.asarray(pattern, jnp.float32),

@@ -75,10 +75,42 @@ def test_oneshot_rejects_wrong_rate(model, speechlike):
 def test_diverse_variant_loads(model, speechlike):
     from aware_tpu.service.fast import _VARIANTS
 
-    if not _VARIANTS["diverse"].exists():
+    if not _VARIANTS["diverse"][0].exists():
         pytest.skip("diverse bundle not trained")
     embedder, detector = model
     wm = embed_watermark_oneshot(speechlike, 16000, BITS, embedder, variant="diverse")
     assert wm.shape == ((len(speechlike) // 256) * 256,)
     with pytest.raises(FileNotFoundError):
         embed_watermark_oneshot(speechlike, 16000, BITS, embedder, variant="nope")
+
+
+def test_variant_trained_box_autoapplies(model, speechlike):
+    """A variant with a non-None trained box width (_VARIANTS) runs at that
+    box by default — lower SNR than the card's 6 dB — while an explicit
+    tolerance_db still wins over the variant entry."""
+    from aware_tpu.service.fast import _VARIANTS
+
+    path, tol = _VARIANTS["diverse_tol2"]
+    if not path.exists():
+        pytest.skip("tol2 gate bundle not trained")
+    assert tol is not None and tol < 6.0
+    embedder, detector = model
+
+    def snr(w):
+        n = min(len(w), len(speechlike))
+        return 10 * np.log10(
+            np.mean(speechlike[:n] ** 2)
+            / np.mean((w[:n] - speechlike[:n]) ** 2)
+        )
+
+    wm_auto = embed_watermark_oneshot(
+        speechlike, 16000, BITS, embedder, variant="diverse_tol2"
+    )
+    wm_wide = embed_watermark_oneshot(
+        speechlike, 16000, BITS, embedder, variant="diverse_tol2",
+        tolerance_db=6.0,
+    )
+    # trained box (2 dB) spends more energy than the explicit 6 dB override
+    assert snr(wm_auto) < snr(wm_wide) - 1.0
+    detected = detect_watermark(wm_auto, 16000, detector)
+    assert float(np.mean(detected != BITS)) * 100 <= 25.0
