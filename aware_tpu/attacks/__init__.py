@@ -16,6 +16,11 @@ from aware_tpu.attacks.attacks import (
     default_attack_suite,
 )
 from aware_tpu.attacks.codec import mp3_approx
+from aware_tpu.attacks.mp3_real import (
+    MP3CompressionReal,
+    mp3_roundtrip,
+)
+from aware_tpu.attacks.mp3_real import available as mp3_real_available
 from aware_tpu.attacks.vocoder import time_stretch, pitch_shift
 
 __all__ = [
@@ -35,6 +40,9 @@ __all__ = [
     "SpeedChange",
     "default_attack_suite",
     "mp3_approx",
+    "MP3CompressionReal",
+    "mp3_roundtrip",
+    "mp3_real_available",
     "time_stretch",
     "pitch_shift",
 ]

@@ -78,13 +78,17 @@ class PCMBitDepthConversion(Attack):
 
 @dataclasses.dataclass
 class MP3Compression(Attack):
-    """Lossy-compression approximation (reference: :73-148 uses ffmpeg)."""
+    """In-graph lossy-compression approximation (differentiable MDCT
+    model; the REAL codec lives in :mod:`aware_tpu.attacks.mp3_real` and
+    reports as ``mp3_{q}`` like the reference's ffmpeg rows
+    (reference: :73-148); this approximation reports as
+    ``mp3approx_{q}``)."""
 
     quality: int = 2
     pcm_bits: int = 16
 
     def __post_init__(self):
-        self.name = f"mp3_{self.quality}"
+        self.name = f"mp3approx_{self.quality}"
 
     def apply(self, audio, sr, key=None):
         pre = PCMBitDepthConversion(self.pcm_bits).apply(audio, sr)
@@ -309,14 +313,27 @@ class GaussianNoise(Attack):
         return np.asarray(x + noise, dtype=np.float32)
 
 
-def default_attack_suite() -> list[Attack]:
+def default_attack_suite(real_mp3: bool | None = None) -> list[Attack]:
     """The reference eval harness's 22 attack instances
-    (reference: scripts/test.py:15-18)."""
+    (reference: scripts/test.py:15-18).
+
+    The four MP3 rows use the REAL codec (libmp3lame/libmpg123 bound in
+    :mod:`aware_tpu.attacks.mp3_real` — the same codec the reference's
+    ffmpeg subprocess runs) when the libraries are present, matching the
+    reference's row semantics exactly; ``real_mp3=False`` forces the
+    in-graph approximation (``mp3approx_{q}`` rows), e.g. for a fully
+    jittable suite.
+    """
+    from aware_tpu.attacks import mp3_real
+
+    if real_mp3 is None:
+        real_mp3 = mp3_real.available()
+    mp3_cls = mp3_real.MP3CompressionReal if real_mp3 else MP3Compression
     return [
         PCMBitDepthConversion(8), PCMBitDepthConversion(12),
         PCMBitDepthConversion(16), PCMBitDepthConversion(24),
-        MP3Compression(9), MP3Compression(5), MP3Compression(2),
-        MP3Compression(0),
+        mp3_cls(9), mp3_cls(5), mp3_cls(2),
+        mp3_cls(0),
         DeleteSamples(0.1), DeleteSamples(0.15), DeleteSamples(0.2),
         TimeStretch(0.8), TimeStretch(0.9), TimeStretch(1.1), TimeStretch(1.2),
         PitchShift(),

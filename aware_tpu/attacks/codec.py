@@ -27,11 +27,14 @@ sigmoid, so the whole attack stays differentiable for in-loop adversarial
 training (BASELINE config 4).
 
 Real-codec risk statement: this is a behavioral approximation — bitstream
-effects (Huffman limits, joint stereo, encoder delay) are not modeled, so
-robustness numbers against this attack are evidence, not proof, of
-robustness to real MP3.  Where ffmpeg exists, tools/mp3_crosscheck.py
-measures the approximation against the real encoder per quality level and
-writes MP3_CROSSCHECK.json; in images without ffmpeg it skips loudly.
+effects (Huffman limits, joint stereo, encoder delay) are not modeled.
+Since round 4 the REAL codec is also available in-process
+(:mod:`aware_tpu.attacks.mp3_real` binds the image's libmp3lame/libmpg123
+directly), the default eval suite's ``mp3_{q}`` rows run it, and
+tools/mp3_crosscheck.py grounds this approximation against it per quality
+level (MP3_CROSSCHECK.json).  This module remains the differentiable
+path for in-loop adversarial training and jitted graphs, reporting as
+``mp3approx_{q}``.
 """
 
 from __future__ import annotations

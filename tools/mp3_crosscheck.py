@@ -1,20 +1,26 @@
-"""Cross-check the in-graph MP3 approximation against real ffmpeg/lame.
+"""Cross-check the in-graph MP3 approximation against the REAL codec.
 
-The robustness suite's mp3_* rows use aware_tpu.attacks.codec.mp3_approx
-(a differentiable MDCT/scalefactor-band model).  Whether those rows
-transfer to REAL MP3 can only be measured against a real encoder — which
-this offline image does not have.  This tool:
+The robustness suite's mp3_* rows historically used
+aware_tpu.attacks.codec.mp3_approx (a differentiable MDCT/scalefactor-band
+model) because the image has no ffmpeg.  Round 4 found the actual codec
+libraries in the image — libmp3lame.so.0 (the encoder ffmpeg would use)
+and libmpg123.so.0 — and binds them in-process
+(aware_tpu/attacks/mp3_real.py).  This tool grounds the approximation:
 
-  * exits loudly (code 3) when ffmpeg is absent, so its absence is a
-    recorded fact rather than silence;
-  * where ffmpeg exists: for each quality level, encodes watermarked
-    clips with ``ffmpeg -codec:a libmp3lame -q:a N``, decodes back,
-    aligns (the codec adds encoder delay), and compares
-      - watermark BER through the real codec vs through the approximation,
-      - noise power the two codecs inject (SNR of attacked vs original),
-    writing MP3_CROSSCHECK.json.
+  * for each LAME VBR quality level, round-trips watermarked clips
+    through the REAL codec and through the approximation, comparing
+      - watermark BER through each path,
+      - injected-noise SNR of each path,
+    writing MP3_CROSSCHECK.json;
+  * exits loudly (code 3) when the codec libraries are missing, so
+    absence is a recorded fact rather than silence.
 
-Run:  python tools/mp3_crosscheck.py [--clips 4]
+Quality mapping matches the reference's ``ffmpeg -q:a N``
+(reference: scripts/attacks.py:125-127): LAME VBR quality N.
+
+Run:  python tools/mp3_crosscheck.py [--clips 4] [--cpu]
+(--cpu forces the CPU backend — required when the axon tunnel is down;
+embeds are the full 400-iteration solver, ~35 s/clip on one CPU core.)
 """
 
 from __future__ import annotations
@@ -22,10 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-import shutil
-import subprocess
 import sys
-import tempfile
 
 import numpy as np
 
@@ -35,52 +38,26 @@ SR = 16000
 QUALITIES = (0, 2, 5, 9)
 
 
-def _ffmpeg_roundtrip(ffmpeg: str, x: np.ndarray, quality: int) -> np.ndarray:
-    from aware_tpu.utils.io import read_wav, write_wav
-
-    with tempfile.TemporaryDirectory() as td:
-        td = pathlib.Path(td)
-        write_wav(str(td / "in.wav"), x, SR, bits=16)
-        subprocess.run(
-            [ffmpeg, "-y", "-loglevel", "error", "-i", str(td / "in.wav"),
-             "-codec:a", "libmp3lame", "-q:a", str(quality),
-             str(td / "out.mp3")],
-            check=True,
-        )
-        subprocess.run(
-            [ffmpeg, "-y", "-loglevel", "error", "-i", str(td / "out.mp3"),
-             "-ar", str(SR), str(td / "dec.wav")],
-            check=True,
-        )
-        y, sr = read_wav(str(td / "dec.wav"))
-        assert sr == SR
-        if y.ndim == 2:
-            y = y.mean(axis=1)
-    # encoder delay alignment by cross-correlation
-    n = min(len(x), len(y))
-    corr = np.correlate(y[: n], x[: n], mode="full")
-    lag = int(np.argmax(corr)) - (n - 1)
-    if lag > 0:
-        y = y[lag:]
-    elif lag < 0:
-        y = np.concatenate([np.zeros(-lag, y.dtype), y])
-    n = min(len(x), len(y))
-    return y[:n].astype(np.float32)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
-    ffmpeg = shutil.which("ffmpeg")
-    if ffmpeg is None:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aware_tpu.attacks.mp3_real import available, mp3_roundtrip
+
+    if not available():
         print(
             "=" * 70 + "\n"
-            "SKIPPED: ffmpeg is not available in this image.\n"
+            "SKIPPED: libmp3lame/libmpg123 are not available in this image.\n"
             "The mp3_* robustness rows are measured against the in-graph\n"
             "approximation only; re-run this tool in an environment with\n"
-            "ffmpeg/libmp3lame to ground them against the real codec.\n"
+            "the codec libraries to ground them against the real codec.\n"
             + "=" * 70
         )
         raise SystemExit(3)
@@ -100,7 +77,7 @@ def main() -> None:
         bits = rng.integers(0, 2, 20, dtype=np.int32)
         wm = embed_watermark(clip, SR, bits, embedder)
         for q in QUALITIES:
-            real = _ffmpeg_roundtrip(ffmpeg, wm, q)
+            real = mp3_roundtrip(wm, SR, quality=float(q))
             approx = np.asarray(mp3_approx(jnp.asarray(wm), SR, q))
             rows.append({
                 "clip": i, "quality": q,
@@ -119,7 +96,11 @@ def main() -> None:
         }
         for q in QUALITIES
     }
-    out = {"per_quality": by_q, "rows": rows}
+    out = {
+        "codec": "libmp3lame.so.0 encode + libmpg123.so.0 decode, in-process",
+        "per_quality": by_q,
+        "rows": rows,
+    }
     path = pathlib.Path(__file__).parent.parent / "MP3_CROSSCHECK.json"
     path.write_text(json.dumps(out, indent=2))
     print(f"wrote {path}")
