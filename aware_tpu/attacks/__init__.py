@@ -21,6 +21,13 @@ from aware_tpu.attacks.mp3_real import (
     mp3_roundtrip,
 )
 from aware_tpu.attacks.mp3_real import available as mp3_real_available
+from aware_tpu.attacks.voice_codecs import (
+    GSMFullRate,
+    OpusCompression,
+    extended_attack_suite,
+    gsm_roundtrip,
+    opus_roundtrip,
+)
 from aware_tpu.attacks.vocoder import time_stretch, pitch_shift
 
 __all__ = [
@@ -43,6 +50,11 @@ __all__ = [
     "MP3CompressionReal",
     "mp3_roundtrip",
     "mp3_real_available",
+    "OpusCompression",
+    "GSMFullRate",
+    "opus_roundtrip",
+    "gsm_roundtrip",
+    "extended_attack_suite",
     "time_stretch",
     "pitch_shift",
 ]

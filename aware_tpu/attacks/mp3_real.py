@@ -285,10 +285,12 @@ def mp3_roundtrip(
     data = mp3_encode(pre, sr, vbr_quality=quality, bitrate_kbps=bitrate_kbps)
     y, out_sr = mp3_decode(data)
     if out_sr != sr:
-        from aware_tpu.ops.resample import resample_poly
+        # scipy, not aware_tpu.ops.resample: host-side attack code must
+        # not initialize a JAX backend (axon tunnel may be unreachable)
+        from scipy.signal import resample_poly
 
         g = np.gcd(int(sr), int(out_sr))
-        y = np.asarray(resample_poly(y, sr // g, out_sr // g), np.float32)
+        y = resample_poly(y, sr // g, out_sr // g).astype(np.float32)
     n = min(len(mono), len(y))
     corr = np.correlate(y[:n], mono[:n], mode="full")
     lag = int(np.argmax(corr)) - (n - 1)

@@ -148,8 +148,27 @@ def main() -> None:
     ap.add_argument("audio_dir", nargs="?", default=None)
     ap.add_argument("--clips", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--extended", action="store_true",
+        help="add the modern-codec rows (real Opus at 3 bitrates, GSM "
+             "full-rate) beyond the reference's 22-attack suite",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the ambient env pins the axon TPU "
+             "platform, which hangs when the tunnel is down)",
+    )
     args = ap.parse_args()
-    results = run_robustness_eval(args.audio_dir, args.clips, args.seed)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    attacks = None
+    if args.extended:
+        from aware_tpu.attacks.voice_codecs import extended_attack_suite
+
+        attacks = extended_attack_suite()
+    results = run_robustness_eval(
+        args.audio_dir, args.clips, args.seed, attacks=attacks
+    )
     import json
 
     print(json.dumps(results, indent=2))
