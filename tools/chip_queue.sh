@@ -50,6 +50,11 @@ run_step 06_bench_sweep timeout 7200 python tools/bench_sweep.py
 # 7. hour-scale streaming detection
 run_step 07_streaming timeout 7200 python tools/streaming_eval.py --hours 1
 
+# 8. extended robustness suite (real MP3/Opus/GSM codec rows) with chip
+#    embeds; host-side codec attacks run in-process (no ffmpeg needed)
+run_step 08_eval_extended timeout 7200 bash -c \
+  'python -m aware_tpu.eval --clips 10 --extended > EVAL_RESULTS_EXTENDED.json'
+
 # 5b. host-side parity eval against the chip embeds (CPU, long)
 if [ -f PARITY_EMBEDS.npz ]; then
   run_step 05b_parity_eval timeout 14400 python tools/parity_eval.py \
