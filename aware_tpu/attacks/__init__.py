@@ -28,6 +28,14 @@ from aware_tpu.attacks.voice_codecs import (
     gsm_roundtrip,
     opus_roundtrip,
 )
+from aware_tpu.attacks.av_codecs import (
+    AACCompression,
+    G722Telephony,
+    SpeexWideband,
+    VorbisCompression,
+    avc_available,
+    avc_roundtrip,
+)
 from aware_tpu.attacks.vocoder import time_stretch, pitch_shift
 
 __all__ = [
@@ -55,6 +63,12 @@ __all__ = [
     "opus_roundtrip",
     "gsm_roundtrip",
     "extended_attack_suite",
+    "AACCompression",
+    "VorbisCompression",
+    "SpeexWideband",
+    "G722Telephony",
+    "avc_available",
+    "avc_roundtrip",
     "time_stretch",
     "pitch_shift",
 ]

@@ -270,8 +270,10 @@ class GSMFullRate:
 
 
 def extended_attack_suite() -> list:
-    """The reference's 22-instance suite plus the modern-codec rows this
-    image supports (Opus at three bitrates, GSM full-rate)."""
+    """The reference's 22-instance suite plus the real-codec rows this
+    image supports: Opus (three bitrates), GSM full-rate, and the
+    libavcodec families (AAC, Vorbis, Speex-WB, G.722)."""
+    from aware_tpu.attacks import av_codecs
     from aware_tpu.attacks.attacks import default_attack_suite
 
     suite = default_attack_suite()
@@ -283,4 +285,13 @@ def extended_attack_suite() -> list:
         ]
     if gsm_available():
         suite.append(GSMFullRate())
+    for codec, make in [
+        ("aac", lambda: av_codecs.AACCompression(64)),
+        ("aac", lambda: av_codecs.AACCompression(32)),
+        ("libvorbis", lambda: av_codecs.VorbisCompression(3.0)),
+        ("libspeex", av_codecs.SpeexWideband),
+        ("g722", av_codecs.G722Telephony),
+    ]:
+        if av_codecs.avc_available(codec):
+            suite.append(make())
     return suite

@@ -65,10 +65,18 @@ def test_gsm_roundtrip_contract(tone):
 @needs_opus
 @needs_gsm
 def test_extended_suite_shape():
+    from aware_tpu.attacks.av_codecs import avc_available
+
     suite = vc.extended_attack_suite()
     names = [a.name for a in suite]
-    assert len(suite) == 26  # reference 22 + opus x3 + gsm
+    # reference 22 + opus x3 + gsm (+5 libavcodec rows when the shim builds)
+    expected = 26 + (5 if avc_available("aac") else 0)
+    assert len(suite) == expected, names
     assert {"opus_32k", "opus_16k", "opus_8k", "gsm_fr"} <= set(names)
+    if avc_available("aac"):
+        assert {"aac_64k", "aac_32k", "vorbis_q3", "speex_wb", "g722"} <= set(
+            names
+        )
 
 
 @needs_opus
