@@ -63,3 +63,15 @@ fi
 
 echo "=== queue done ==="
 cat "$SUMMARY"
+
+# Persist the artifacts immediately (the queue may finish while no build
+# session is active); restricted to the known artifact files so an
+# in-flight working tree is never swept up.
+cp "$SUMMARY" CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
+git add TPU_TIER_r04.json TPU_TIER.json PERF_PROBE_STEP.json \
+  BENCH_SWEEP.json STREAMING_EVAL.json EVAL_RESULTS_EXTENDED.json \
+  PARITY_EMBEDS.npz PARITY.md PARITY_PARTIAL.json \
+  CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
+git diff --cached --quiet || git commit -m "Chip-queue artifacts (round 4): bench, TPU tier, perf probe, sweep, streaming, extended eval, parity embeds
+
+No-Verification-Needed: artifact-only commit produced by the on-chip validation queue"
