@@ -150,8 +150,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--extended", action="store_true",
-        help="add the modern-codec rows (real Opus at 3 bitrates, GSM "
-             "full-rate) beyond the reference's 22-attack suite",
+        help="add the real-codec rows (Opus at 3 bitrates, GSM full-rate, "
+             "AAC 64/32k, Vorbis, Speex-WB, G.722) beyond the "
+             "reference's 22-attack suite",
     )
     ap.add_argument(
         "--cpu", action="store_true",
