@@ -159,6 +159,16 @@ def main() -> None:
         help="force the CPU backend (the ambient env pins the axon TPU "
              "platform, which hangs when the tunnel is down)",
     )
+    ap.add_argument(
+        "--card", default=None,
+        help="config card to load (e.g. 'robust' for the cycle-EOT "
+             "desync-hardened operating point); default card otherwise",
+    )
+    ap.add_argument(
+        "--robust-detect", action="store_true",
+        help="detect through the rate-search compensation detector "
+             "(service.robust) instead of the plain forward",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -167,8 +177,10 @@ def main() -> None:
         from aware_tpu.attacks.voice_codecs import extended_attack_suite
 
         attacks = extended_attack_suite()
+    model = load(args.card) if args.card else None
     results = run_robustness_eval(
-        args.audio_dir, args.clips, args.seed, attacks=attacks
+        args.audio_dir, args.clips, args.seed, attacks=attacks,
+        model=model, robust=args.robust_detect,
     )
     import json
 

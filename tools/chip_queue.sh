@@ -50,10 +50,13 @@ run_step 06_bench_sweep timeout 7200 python tools/bench_sweep.py
 # 7. hour-scale streaming detection
 run_step 07_streaming timeout 7200 python tools/streaming_eval.py --hours 1
 
-# 8. extended robustness suite (real MP3/Opus/GSM codec rows) with chip
-#    embeds; host-side codec attacks run in-process (no ffmpeg needed)
+# 8. extended robustness suite (real MP3/Opus/GSM/AAC/Vorbis/Speex/G.722
+#    rows) with chip embeds; host-side codec attacks run in-process (no
+#    ffmpeg needed).  8b repeats on the deployment-grade robust card.
 run_step 08_eval_extended timeout 7200 bash -c \
   'python -m aware_tpu.eval --clips 10 --extended > EVAL_RESULTS_EXTENDED.json'
+run_step 08b_eval_extended_robust timeout 7200 bash -c \
+  'python -m aware_tpu.eval --clips 10 --extended --card robust > EVAL_RESULTS_EXTENDED_ROBUST.json'
 
 # 5b. host-side parity eval against the chip embeds (CPU, long)
 if [ -f PARITY_EMBEDS.npz ]; then
@@ -70,6 +73,7 @@ cat "$SUMMARY"
 cp "$SUMMARY" CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
 git add TPU_TIER_r04.json TPU_TIER.json PERF_PROBE_STEP.json \
   BENCH_SWEEP.json STREAMING_EVAL.json EVAL_RESULTS_EXTENDED.json \
+  EVAL_RESULTS_EXTENDED_ROBUST.json \
   PARITY_EMBEDS.npz PARITY.md PARITY_PARTIAL.json \
   CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
 git diff --cached --quiet || git commit -m "Chip-queue artifacts (round 4): bench, TPU tier, perf probe, sweep, streaming, extended eval, parity embeds
