@@ -1,0 +1,97 @@
+"""Attack-suite robustness of the ONE-SHOT (amortized) embed path.
+
+The solver path's robustness cards live in EVAL_RESULTS*.json; this tool
+records the same per-attack BER table for the single-forward-pass
+amortized embedder (the 1726 clips/s path), which until round 4 only had
+clean-BER evidence (AMORTIZED_EVAL.json).  No reference counterpart —
+the reference has no amortized embedder at all.
+
+Run:  python tools/oneshot_robustness.py [--variant diverse_tol2]
+          [--clips 12] [--cpu]  ->  ONESHOT_ROBUSTNESS.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="diverse_tol2")
+    ap.add_argument("--clips", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=900,
+                    help="held-out clip seed base (matches the gate eval)")
+    ap.add_argument("--families", nargs="+",
+                    default=["speech", "diverse"])
+    ap.add_argument("--out", default="ONESHOT_ROBUSTNESS.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aware_tpu.attacks.voice_codecs import extended_attack_suite
+    from aware_tpu.config import AwareConfig
+    from aware_tpu.eval import synthesize_speech_clip
+    from aware_tpu.models import detect_values, init_params
+    from aware_tpu.service.fast import _VARIANTS, _load_amortized
+    from aware_tpu.train import amortized_embed
+    from aware_tpu.train.distill import diverse_clip
+
+    cfg = AwareConfig()
+    _, tol = _VARIANTS[args.variant]
+    if tol is not None:
+        cfg = cfg.replace(tolerance_db=tol)
+    d_params = {k: jnp.asarray(v)
+                for k, v in init_params(cfg.detection_net).items()}
+    e_params = _load_amortized(args.variant)
+    attacks = extended_attack_suite()
+    sr = cfg.detection_net.sample_rate
+
+    result: dict = {"variant": args.variant, "tolerance_db": tol,
+                    "clips": args.clips, "families": {}}
+    for family in args.families:
+        rng = np.random.default_rng(args.seed)
+        rec: dict[str, list[float]] = {"clean": [], "snr_db": []}
+        for i in range(args.clips):
+            clip = (synthesize_speech_clip(args.seed + i)
+                    if family == "speech" else diverse_clip(args.seed + i))
+            bits = rng.integers(0, 2, 20).astype(np.int32)
+            pattern = (2 * bits - 1).astype(np.float32)
+            wm = np.asarray(
+                amortized_embed(e_params, d_params, clip, pattern, cfg)
+            ).astype(np.float32)
+            v = np.asarray(detect_values(d_params, jnp.asarray(wm)))
+            rec["clean"].append(float(np.mean((v > 0) != bits)) * 100)
+            ref = clip[: len(wm)]
+            rec["snr_db"].append(float(10 * np.log10(
+                np.mean(ref ** 2) / (np.mean((wm - ref) ** 2) + 1e-12))))
+            for j, attack in enumerate(attacks):
+                attacked = np.asarray(attack.apply(
+                    wm, sr, key=args.seed * 10007 + i * 101 + j
+                ), dtype=np.float32)
+                v = np.asarray(detect_values(d_params, jnp.asarray(attacked)))
+                rec.setdefault(attack.name, []).append(
+                    float(np.mean((v > 0) != bits)) * 100)
+        result["families"][family] = {
+            k: round(float(np.mean(vs)), 2) for k, vs in rec.items()
+        }
+        print(family, "done", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
