@@ -81,10 +81,13 @@ def cmd_detect(args) -> None:
                     "start_s": s.start_seconds,
                     "end_s": s.end_seconds,
                     "confidence": s.confidence,
+                    "n_windows": s.n_windows,
+                    "bit_agreement": s.bit_agreement,
                     "bits": "".join(map(str, np.asarray(s.bits).astype(int))),
                 }
                 for s in res.segments
             ],
+            "rejected_segments": res.rejected_segments,
         }, indent=2))
     elif args.robust:
         res = detect_watermark_robust(

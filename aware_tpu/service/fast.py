@@ -51,8 +51,8 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 #              (4-18% across families) at some cost on the original family;
 #   "diverse_tol2": the round-4 gate bundle — the diverse MLP chain
 #              continued with training AT the tol-2 box (warm-started
-#              from lp005b): 4.58% held-out diverse / 2.5% speech
-#              one-shot at 9.7/12.7 dB SNR (seg2) — under the <8% gate
+#              from lp005b): 2.92% held-out diverse / 2.92% speech
+#              one-shot at 9.7/12.7 dB SNR (seg4) — under the <8% gate
 #              (AMORTIZED_CHAIN_STATUS.json is the ledger).
 #              A non-None tolerance entry is the bundle's trained/rated
 #              box width, applied automatically unless the caller
@@ -63,7 +63,7 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 _VARIANTS: dict[str, tuple[pathlib.Path, float | None]] = {
     "default": (_AMORTIZED_PATH, None),
     "diverse": (_KEY_DIR / "amortized_v1_diverse.npz", None),
-    "diverse_tol2": (_KEY_DIR / "amortized_v2_diverse_tol2_seg2.npz", 2.0),
+    "diverse_tol2": (_KEY_DIR / "amortized_v2_diverse_tol2_seg4.npz", 2.0),
     # NOTE: there is deliberately no solver-distilled bundle.  Two
     # attempts (magnitude-only round 1; phase-conditioned with a
     # detector-visible post-roundtrip loss, round 2) both memorize the

@@ -24,6 +24,17 @@ The decision threshold is calibrated against the null distribution:
 their confidences in one batched dispatch, and sets
 ``mean + 6 x std`` (false-positive-conservative).
 
+A hit run is additionally *confirmed* before it becomes a segment: a
+genuine plant (>= window length) always covers at least ``min_run``
+adjacent hit windows at the default 2 s window / 1 s hop, while null
+audio that grazes the threshold produces isolated single-window hits.
+A run shorter than ``min_run`` is kept only when its peak confidence
+clears the stronger ``mean + strong_sigma x std`` bar (so a short but
+unambiguous mark still localizes).  Unconfirmed hits are counted in
+``StreamingResult.rejected_segments``.  In the hour-scale smoke eval
+this rule removes all 4/hour false-positive segments at unchanged
+recall (STREAMING_EVAL.json).
+
 CLI: ``python -m aware_tpu detect --streaming file.wav``.
 """
 
@@ -47,6 +58,10 @@ class Segment:
     end_seconds: float
     confidence: float
     bits: np.ndarray
+    n_windows: int = 1
+    # fraction of per-window bit signs that agree with the merged vote —
+    # near 1.0 for genuine marks, ~0.5 + noise for spurious runs
+    bit_agreement: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +71,7 @@ class StreamingResult:
     values: np.ndarray          # (N, n_bits) raw detector outputs
     threshold: float
     segments: list[Segment]
+    rejected_segments: int = 0  # hit runs dropped by confirmation
 
     @property
     def detected(self) -> bool:
@@ -80,6 +96,8 @@ class StreamingDetector:
         batch_windows: int = 64,
         threshold: float | str = "auto",
         mesh=None,
+        min_run: int = 2,
+        strong_sigma: float = 10.0,
     ):
         self.detector = detector
         cfg = detector.cfg
@@ -88,6 +106,8 @@ class StreamingDetector:
         self.hop = int(hop_seconds * self.sr)
         self.batch_windows = batch_windows
         self.mesh = mesh
+        self.min_run = min_run
+        self.strong_sigma = strong_sigma
 
         def batched(audio_windows):
             return jax.vmap(
@@ -104,9 +124,16 @@ class StreamingDetector:
             )(audio_windows)
 
         self._batched = jax.jit(batched)
-        self.threshold = (
-            self._calibrate_null() if threshold == "auto" else float(threshold)
-        )
+        if threshold == "auto":
+            self.threshold = self._calibrate_null()
+            self.strong_threshold = (
+                self._null_mean + strong_sigma * self._null_std
+            )
+        else:
+            # manual threshold: no null stats, so confirmation can only
+            # use run length; a single-window run passes unconditionally
+            self.threshold = float(threshold)
+            self.strong_threshold = float(threshold)
 
     # ------------------------------------------------------------ intern ---
 
@@ -125,7 +152,9 @@ class StreamingDetector:
         )
         vals = np.asarray(self._batched(jnp.asarray(wins)))
         conf = np.mean(np.abs(vals), axis=1)
-        return float(np.mean(conf) + 6.0 * np.std(conf))
+        self._null_mean = float(np.mean(conf))
+        self._null_std = float(np.std(conf))
+        return self._null_mean + 6.0 * self._null_std
 
     def _values_for_windows(self, audio: np.ndarray, starts: np.ndarray):
         """Batched detection over all windows, bounded device memory."""
@@ -154,6 +183,7 @@ class StreamingDetector:
         conf = np.mean(np.abs(values), axis=1)
 
         segments: list[Segment] = []
+        rejected = 0
         det = self.detector
         hit = conf > self.threshold
         i = 0
@@ -162,16 +192,27 @@ class StreamingDetector:
                 j = i
                 while j < len(hit) and hit[j]:
                     j += 1
+                run_conf = float(np.max(conf[i:j]))
+                # confirmation: a short run must clear the strong bar
+                if j - i < self.min_run and run_conf < self.strong_threshold:
+                    rejected += 1
+                    i = j
+                    continue
                 seg_vals = values[i:j]
                 # majority-vote bits weighted by |value| across the run
                 merged = np.sum(np.sign(seg_vals) * np.abs(seg_vals), axis=0)
                 bits = decode_pattern(merged, det.pattern_mode, det.threshold)
+                agreement = float(
+                    np.mean(np.sign(seg_vals) == np.sign(merged))
+                )
                 segments.append(
                     Segment(
                         start_seconds=float(starts[i]) / self.sr,
                         end_seconds=float(starts[j - 1] + self.window) / self.sr,
-                        confidence=float(np.max(conf[i:j])),
+                        confidence=run_conf,
                         bits=bits,
+                        n_windows=int(j - i),
+                        bit_agreement=agreement,
                     )
                 )
                 i = j
@@ -183,6 +224,7 @@ class StreamingDetector:
             values=values,
             threshold=self.threshold,
             segments=segments,
+            rejected_segments=rejected,
         )
 
     def detect_file(self, path: str) -> StreamingResult:

@@ -71,6 +71,39 @@ def test_mesh_global_matches_single_device(marked_long_clip):
     assert np.array_equal(np.asarray(bits).astype(int), BITS)
 
 
+def _patched_detector(detector, vals):
+    """StreamingDetector with synthetic per-window detector outputs, so the
+    run-confirmation logic is tested in isolation."""
+    sd = StreamingDetector(detector, threshold=0.5, min_run=2)
+    sd.strong_threshold = 0.9
+    sd._values_for_windows = lambda audio, starts: vals[: len(starts)]
+    audio = np.zeros(sd.window + (len(vals) - 1) * sd.hop, np.float32)
+    return sd.detect(audio, sd.sr)
+
+
+def test_confirmation_rejects_isolated_weak_hit(marked_long_clip):
+    _, detector, _, _ = marked_long_clip
+    vals = np.full((10, 20), 0.01, np.float32)
+    vals[3] = 0.6   # isolated hit below the strong bar -> rejected
+    vals[6:8] = 0.7  # 2-window run -> confirmed
+    res = _patched_detector(detector, vals)
+    assert res.rejected_segments == 1
+    assert len(res.segments) == 1
+    seg = res.segments[0]
+    assert seg.n_windows == 2
+    assert seg.bit_agreement == 1.0
+
+
+def test_confirmation_keeps_strong_isolated_hit(marked_long_clip):
+    _, detector, _, _ = marked_long_clip
+    vals = np.full((10, 20), 0.01, np.float32)
+    vals[3] = 0.95  # isolated but unambiguous -> kept
+    res = _patched_detector(detector, vals)
+    assert res.rejected_segments == 0
+    assert len(res.segments) == 1
+    assert res.segments[0].n_windows == 1
+
+
 def test_cli_streaming(tmp_path, marked_long_clip):
     long_clip, _, _, _ = marked_long_clip
     from aware_tpu.__main__ import main

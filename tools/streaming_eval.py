@@ -182,6 +182,7 @@ def main() -> None:
         "realtime_factor": round(args.hours * 3600 / detect_s, 1),
         "segment_recall": round(recalled / args.plants, 4),
         "false_positive_segments": int(false_segments),
+        "rejected_by_confirmation": int(result.rejected_segments),
         "mean_hit_bit_error_pct": (
             round(100 * float(np.mean(bit_errs)), 3) if bit_errs else None
         ),
