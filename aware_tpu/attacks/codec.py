@@ -50,15 +50,20 @@ _HOP = _FRAME // 2
 _N_SFB = 21    # Layer-III long-block scalefactor band count
 
 # quality 0 (best) .. 9 (worst) -> noise-floor scale relative to masking
-# threshold; calibrated so q=9 is clearly audible and q=0 near-transparent
+# threshold; calibrated so q=9 is clearly audible and q=0 near-transparent.
+# 10/11 extend BEYOND lame's range: extreme-compression pressure whose
+# in-band quantization noise approaches very-low-bitrate codecs (opus@8k,
+# GSM-FR) — used as EOT hardening views, not as eval attacks.
 _QUALITY_SCALE = {
     0: 0.02, 1: 0.035, 2: 0.06, 3: 0.1, 4: 0.17,
     5: 0.28, 6: 0.45, 7: 0.7, 8: 1.1, 9: 1.8,
+    10: 3.0, 11: 5.0,
 }
 # lame VBR applies a lowpass that tightens with quality; fractions of sr/2
 _QUALITY_CUTOFF = {
     0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 0.95,
     5: 0.90, 6: 0.85, 7: 0.82, 8: 0.76, 9: 0.70,
+    10: 0.62, 11: 0.55,
 }
 
 

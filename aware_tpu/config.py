@@ -163,6 +163,13 @@ class AwareConfig:
     # eval suite's ps_5 attack (vocoder pitch_shift at cents/100
     # semitones); empty disables.
     eot_pitch_cents: Any = ()
+    # Lossy-compression EOT views: quality levels of the differentiable
+    # MDCT codec approximation (attacks/codec.py mp3_approx; 0=best ..
+    # 9=lame's worst, 10/11 = extreme-compression pressure beyond lame's
+    # range, for hardening against very-low-bitrate codecs like opus@8k
+    # and GSM-FR whose damage is coarse in-band quantization); empty
+    # disables.
+    eot_mp3_qualities: Any = ()
     eot_weight: float = 1.0
     # How the EOT views enter the objective: "all" sums every view each
     # iteration (cost ~ 1 + n_views per iteration); "cycle" rotates one
@@ -181,13 +188,17 @@ class AwareConfig:
             raise ValueError(f"Invalid eot_mode: {self.eot_mode}")
         for field in ("optimizer_params", "scheduler_params",
                       "embedding_bands", "eot_stretch_rates",
-                      "eot_pitch_cents"):
+                      "eot_pitch_cents", "eot_mp3_qualities"):
             value = getattr(self, field)
             if isinstance(value, Mapping):
                 value = tuple(sorted(value.items()))
             elif isinstance(value, list):
                 value = tuple(value)
             object.__setattr__(self, field, value)
+        bad_q = [q for q in (self.eot_mp3_qualities or ())
+                 if int(q) not in range(12)]
+        if bad_q:
+            raise ValueError(f"Invalid eot_mp3_qualities (0-11): {bad_q}")
 
     @property
     def opt_params(self) -> dict[str, Any]:
@@ -224,6 +235,8 @@ class AwareConfig:
             kwargs["eot_stretch_rates"] = tuple(card["eot_stretch_rates"])
         if "eot_pitch_cents" in card:
             kwargs["eot_pitch_cents"] = tuple(card["eot_pitch_cents"])
+        if "eot_mp3_qualities" in card:
+            kwargs["eot_mp3_qualities"] = tuple(card["eot_mp3_qualities"])
         if "optimizer_cfg" in card:
             kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
             kwargs["optimizer_params"] = dict(

@@ -169,15 +169,24 @@ def build_problem(
     # candidates, so the optimized coefficients survive desync edits by
     # construction.  Differentiable end-to-end (the vocoder's magnitude
     # interpolation AND phase propagation are gradient-safe at zero bins).
-    eot_views = tuple(("ts", r) for r in (cfg.eot_stretch_rates or ())) + (
-        tuple(("ps", c) for c in (cfg.eot_pitch_cents or ()))
+    eot_views = (
+        tuple(("ts", r) for r in (cfg.eot_stretch_rates or ()))
+        + tuple(("ps", c) for c in (cfg.eot_pitch_cents or ()))
+        + tuple(("mp3", q) for q in (cfg.eot_mp3_qualities or ()))
     )
     if eot_views:
+        from aware_tpu.attacks.codec import mp3_approx
         from aware_tpu.attacks.vocoder import pitch_shift, time_stretch
 
         def _view_loss(y, kind, val):
             if kind == "ts":
                 yr = time_stretch(y, val)
+            elif kind == "mp3":
+                # differentiable lossy-compression view (length-
+                # preserving straight-through MDCT quantization) —
+                # hardens the mark against real low-bitrate codecs
+                # whose damage is coarse in-band quantization
+                yr = mp3_approx(y, net_cfg.sample_rate, int(val))
             else:  # pitch-shift view, cents -> semitones like the attack
                 yr = pitch_shift(y, val / 100.0)
             m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))

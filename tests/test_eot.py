@@ -153,3 +153,41 @@ def test_eot_embed_improves_stretch_ber(speechlike):
     eot_ts = np.mean([ber_after(eot.audio, r) for r in (0.9, 1.1)])
     assert eot_ts < base_ts, (eot_ts, base_ts)
     assert eot_ts <= 10.0, eot_ts
+
+
+def test_card_parses_mp3_eot_and_validates():
+    cfg = AwareConfig.from_dict({"eot_mp3_qualities": [9, 11]})
+    assert cfg.eot_mp3_qualities == (9, 11)
+    hash(cfg)
+    with pytest.raises(ValueError, match="eot_mp3_qualities"):
+        AwareConfig(eot_mp3_qualities=(12,))
+
+
+def test_mp3_eot_objective_gradient_finite(speechlike):
+    """The lossy-compression view's straight-through quantizer must keep
+    the objective's gradient finite (the |c|^0.75 companding has an
+    infinite derivative at 0, clamped in mp3_approx)."""
+    cfg = AwareConfig(eot_mp3_qualities=(11,), num_iterations=2)
+    params = init_params(cfg.detection_net)
+    pb = build_problem(
+        params, jnp.asarray(speechlike), jnp.asarray(WM), cfg
+    )
+    loss, g = jax.value_and_grad(pb.objective)(pb.coeffs0)
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mp3_eot_cycle_embed_runs(speechlike):
+    """Cycle mode rotating compression views still solves the clean read
+    exactly at a small budget."""
+    from aware_tpu.models import detect_values
+
+    cfg = AwareConfig(
+        num_iterations=30,
+        eot_mp3_qualities=(10, 11),
+        eot_mode="cycle",
+    )
+    params = init_params(cfg.detection_net)
+    res = embed_core(params, jnp.asarray(speechlike), jnp.asarray(WM), cfg)
+    v = np.asarray(detect_values(params, res.audio))
+    assert float(np.mean((v > 0).astype(int) != BITS)) == 0.0

@@ -35,7 +35,15 @@ def main() -> None:
                     default=["speech", "diverse"])
     ap.add_argument("--out", default="ONESHOT_ROBUSTNESS.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--robust-detect", action="store_true",
+                    help="detect every row with the desync compensation "
+                         "search (service/robust.py) instead of plain "
+                         "detection — closes the ts_*/ps_5 rows the same "
+                         "way it does for the solver path")
     args = ap.parse_args()
+
+    if args.robust_detect and args.out == "ONESHOT_ROBUSTNESS.json":
+        args.out = "ONESHOT_ROBUSTNESS_ROBUST_DETECT.json"
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -58,6 +66,22 @@ def main() -> None:
     attacks = extended_attack_suite()
     sr = cfg.detection_net.sample_rate
 
+    if args.robust_detect:
+        from aware_tpu.service.api import AWAREDetector
+        from aware_tpu.service.robust import detect_watermark_robust
+
+        det = AWAREDetector(params=d_params, cfg=cfg)
+
+        def detect_bits(a: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                detect_watermark_robust(np.asarray(a, np.float32), sr, det)
+            ).astype(np.int32)
+    else:
+
+        def detect_bits(a: np.ndarray) -> np.ndarray:
+            v = np.asarray(detect_values(d_params, jnp.asarray(a)))
+            return (v > 0).astype(np.int32)
+
     result: dict = {"variant": args.variant, "tolerance_db": tol,
                     "clips": args.clips, "families": {}}
     for family in args.families:
@@ -71,8 +95,9 @@ def main() -> None:
             wm = np.asarray(
                 amortized_embed(e_params, d_params, clip, pattern, cfg)
             ).astype(np.float32)
-            v = np.asarray(detect_values(d_params, jnp.asarray(wm)))
-            rec["clean"].append(float(np.mean((v > 0) != bits)) * 100)
+            rec["clean"].append(
+                float(np.mean(detect_bits(wm) != bits)) * 100
+            )
             ref = clip[: len(wm)]
             rec["snr_db"].append(float(10 * np.log10(
                 np.mean(ref ** 2) / (np.mean((wm - ref) ** 2) + 1e-12))))
@@ -80,9 +105,8 @@ def main() -> None:
                 attacked = np.asarray(attack.apply(
                     wm, sr, key=args.seed * 10007 + i * 101 + j
                 ), dtype=np.float32)
-                v = np.asarray(detect_values(d_params, jnp.asarray(attacked)))
                 rec.setdefault(attack.name, []).append(
-                    float(np.mean((v > 0) != bits)) * 100)
+                    float(np.mean(detect_bits(attacked) != bits)) * 100)
         result["families"][family] = {
             k: round(float(np.mean(vs)), 2) for k, vs in rec.items()
         }
