@@ -164,7 +164,15 @@ def load(
 
         import yaml
 
-        card_dict = yaml.safe_load(pathlib.Path(card).read_text()) or {}
+        # a bare name ("robust", "compression") resolves against the
+        # packaged cards; an explicit path is honored as-is
+        path = pathlib.Path(card)
+        if not path.exists():
+            pkg = (pathlib.Path(__file__).parent.parent / "cards"
+                   / f"{card}.yaml")
+            if pkg.exists():
+                path = pkg
+        card_dict = yaml.safe_load(path.read_text()) or {}
         card_keys = set(card_dict)
         cfg = AwareConfig.from_dict(card_dict)
     else:

@@ -168,13 +168,27 @@ def robust_values(
     return np.asarray(run(detector.params, jnp.asarray(audio, jnp.float32)))
 
 
-def _search(detector, audio, hyps: tuple[Hypothesis, ...]):
+def _search(detector, audio, hyps: tuple[Hypothesis, ...],
+            identity_margin: float = 1.0):
     """One fused dispatch over ``hyps``; returns (kind, rate, conf, values)
-    of the most confident hypothesis."""
+    of the most confident hypothesis.
+
+    ``identity_margin > 1`` keeps the identity lane unless a non-identity
+    lane beats it by that factor: strong marks under genuine desync
+    collapse the identity confidence to near-null (so any real recovery
+    clears the margin easily), while WEAK marks on undesynced audio sit
+    close enough to the lane-selection noise floor that a spurious lane
+    can edge out identity by a hair — the margin makes enabling the
+    search never-worse for them too (measured on the one-shot path,
+    ONESHOT_ROBUSTNESS_ROBUST_DETECT.json)."""
     run = _grid_fn(hyps, detector.cfg)
     values = np.asarray(run(detector.params, jnp.asarray(audio, jnp.float32)))
     conf = np.mean(np.abs(values), axis=1)
     best = int(np.argmax(conf))
+    if identity_margin > 1.0 and ("resample", 1.0) in hyps:
+        ident = hyps.index(("resample", 1.0))
+        if conf[best] < identity_margin * conf[ident]:
+            best = ident
     kind, rate = hyps[best]
     return kind, rate, float(conf[best]), values[best]
 
@@ -187,6 +201,7 @@ def detect_watermark_robust(
     stretch_rates: tuple[float, ...] = DEFAULT_STRETCH_RATES,
     return_confidence: bool = False,
     refine: bool = True,
+    identity_margin: float = 1.0,
 ):
     """Detect under unknown time-scaling; returns decoded bits, or a
     :class:`RobustDetection` ``(bits, kind, rate, confidence)`` when
@@ -204,6 +219,11 @@ def detect_watermark_robust(
     winner *within its own family* in 0.5% steps and keeps the best of
     both stages.  Fine grids are jit-cached per coarse winner, so
     steady-state streams pay one compile.
+
+    ``identity_margin``: require a non-identity lane to beat the identity
+    lane's confidence by this factor before it wins (see ``_search``).
+    1.0 (default) is the pure argmax; ~1.25 is recommended when the marks
+    may be weak (the amortized one-shot path).
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -216,7 +236,9 @@ def detect_watermark_robust(
     hyps = tuple(("resample", r) for r in tuple(rates)) + tuple(
         ("stretch", r) for r in tuple(stretch_rates)
     )
-    kind, best_rate, best_conf, best_values = _search(detector, audio, hyps)
+    kind, best_rate, best_conf, best_values = _search(
+        detector, audio, hyps, identity_margin
+    )
 
     if refine and best_rate != 1.0:
         fine = tuple(

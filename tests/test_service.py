@@ -185,3 +185,18 @@ def test_turbo_card_loads(speechlike):
     wm = embed_watermark(speechlike, 16000, BITS, embedder)
     detected = detect_watermark(wm, 16000, detector)
     assert np.mean(detected != BITS) == 0.0
+
+
+def test_bare_card_names_resolve_and_compression_card_parses(speechlike):
+    """load() resolves bare card names against the packaged cards dir;
+    the compression card configures the q11 MDCT EOT view and still
+    embeds/detects clean at a reduced budget."""
+    embedder, _ = load("robust", num_iterations=2)
+    assert embedder.cfg.eot_stretch_rates  # the robust card's views
+
+    embedder, detector = load("compression", num_iterations=40)
+    assert embedder.cfg.eot_mp3_qualities == (11,)
+    assert embedder.cfg.eot_mode == "all"
+    wm = embed_watermark(speechlike, 16000, BITS, embedder)
+    detected = detect_watermark(wm, 16000, detector)
+    assert np.mean(detected != BITS) == 0.0

@@ -83,9 +83,9 @@ def _patched_detector(detector, vals):
 
 def test_confirmation_rejects_isolated_weak_hit(marked_long_clip):
     _, detector, _, _ = marked_long_clip
-    vals = np.full((10, 20), 0.01, np.float32)
-    vals[3] = 0.6   # isolated hit below the strong bar -> rejected
-    vals[6:8] = 0.7  # 2-window run -> confirmed
+    vals = np.full((12, 20), 0.01, np.float32)
+    vals[1] = 0.6    # isolated hit below the strong bar -> rejected
+    vals[7:9] = 0.7  # 2-window run (beyond merge_gap of the hit) -> kept
     res = _patched_detector(detector, vals)
     assert res.rejected_segments == 1
     assert len(res.segments) == 1
@@ -102,6 +102,24 @@ def test_confirmation_keeps_strong_isolated_hit(marked_long_clip):
     assert res.rejected_segments == 0
     assert len(res.segments) == 1
     assert res.segments[0].n_windows == 1
+
+
+def test_fragmented_run_bridges_to_one_segment(marked_long_clip):
+    """Hit windows <= merge_gap apart merge into ONE segment (a plant
+    fragmenting across the threshold must not report as two marks)."""
+    _, detector, _, _ = marked_long_clip
+    vals = np.full((12, 20), 0.01, np.float32)
+    vals[4] = 0.6           # fragment A
+    vals[7:9] = 0.7         # fragment B, 2 sub-threshold windows away
+    res = _patched_detector(detector, vals)
+    assert res.rejected_segments == 0
+    assert len(res.segments) == 1
+    seg = res.segments[0]
+    assert seg.n_windows == 3  # only the hit windows, not the dips
+    # span covers fragment A's window through fragment B's last window
+    sd_window, sd_hop = 2.0, 1.0
+    assert seg.start_seconds == pytest.approx(4 * sd_hop)
+    assert seg.end_seconds == pytest.approx(8 * sd_hop + sd_window)
 
 
 def test_cli_streaming(tmp_path, marked_long_clip):

@@ -40,6 +40,10 @@ def main() -> None:
                          "search (service/robust.py) instead of plain "
                          "detection — closes the ts_*/ps_5 rows the same "
                          "way it does for the solver path")
+    ap.add_argument("--identity-margin", type=float, default=1.25,
+                    help="identity-lane preference margin for "
+                         "--robust-detect (one-shot marks are weak; a "
+                         "pure argmax can mis-lock on spurious lanes)")
     args = ap.parse_args()
 
     if args.robust_detect and args.out == "ONESHOT_ROBUSTNESS.json":
@@ -74,7 +78,10 @@ def main() -> None:
 
         def detect_bits(a: np.ndarray) -> np.ndarray:
             return np.asarray(
-                detect_watermark_robust(np.asarray(a, np.float32), sr, det)
+                detect_watermark_robust(
+                    np.asarray(a, np.float32), sr, det,
+                    identity_margin=args.identity_margin,
+                )
             ).astype(np.int32)
     else:
 
@@ -84,6 +91,9 @@ def main() -> None:
 
     result: dict = {"variant": args.variant, "tolerance_db": tol,
                     "clips": args.clips, "families": {}}
+    if args.robust_detect:
+        result["robust_detect"] = True
+        result["identity_margin"] = args.identity_margin
     for family in args.families:
         rng = np.random.default_rng(args.seed)
         rec: dict[str, list[float]] = {"clean": [], "snr_db": []}
