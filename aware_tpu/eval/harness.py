@@ -161,8 +161,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--card", default=None,
-        help="config card to load (e.g. 'robust' for the cycle-EOT "
-             "desync-hardened operating point); default card otherwise",
+        help="config card to load: a bare packaged-card name ('robust' "
+             "for the cycle-EOT desync-hardened point, 'compression' for "
+             "the low-bitrate-codec-hardened point, 'turbo', 'desync') "
+             "or a YAML path; default card otherwise",
     )
     ap.add_argument(
         "--robust-detect", action="store_true",
