@@ -294,4 +294,9 @@ def extended_attack_suite() -> list:
     ]:
         if av_codecs.avc_available(codec):
             suite.append(make())
+    from aware_tpu.attacks import soxr_real
+
+    if soxr_real.soxr_available():
+        suite.append(soxr_real.SoxrResample(44100))
+        suite.append(soxr_real.SoxrResample(8000))
     return suite

@@ -67,10 +67,17 @@ def test_gsm_roundtrip_contract(tone):
 def test_extended_suite_shape():
     from aware_tpu.attacks.av_codecs import avc_available
 
+    from aware_tpu.attacks.soxr_real import soxr_available
+
     suite = vc.extended_attack_suite()
     names = [a.name for a in suite]
-    # reference 22 + opus x3 + gsm (+5 libavcodec rows when the shim builds)
-    expected = 26 + (5 if avc_available("aac") else 0)
+    # reference 22 + opus x3 + gsm (+5 libavcodec rows when the shim
+    # builds, +2 libsoxr real-resampler rows when the library is present)
+    expected = (
+        26
+        + (5 if avc_available("aac") else 0)
+        + (2 if soxr_available() else 0)
+    )
     assert len(suite) == expected, names
     assert {"opus_32k", "opus_16k", "opus_8k", "gsm_fr"} <= set(names)
     if avc_available("aac"):

@@ -58,6 +58,11 @@ run_step 08_eval_extended timeout 7200 bash -c \
 run_step 08b_eval_extended_robust timeout 7200 bash -c \
   'python -m aware_tpu.eval --clips 10 --extended --card robust > EVAL_RESULTS_EXTENDED_ROBUST.json'
 
+# 8c. compression card (low-bitrate-codec operating point, new in round 4)
+#     with chip embeds — confirms the COMPRESSION_EOT_AB.json CPU numbers.
+run_step 08c_eval_extended_compression timeout 7200 bash -c \
+  'python -m aware_tpu.eval --clips 6 --extended --card compression > EVAL_RESULTS_EXTENDED_COMPRESSION.json'
+
 # 5b. host-side parity eval against the chip embeds (CPU, long)
 if [ -f PARITY_EMBEDS.npz ]; then
   run_step 05b_parity_eval timeout 14400 python tools/parity_eval.py \
@@ -73,7 +78,7 @@ cat "$SUMMARY"
 cp "$SUMMARY" CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
 git add TPU_TIER_r04.json TPU_TIER.json PERF_PROBE_STEP.json \
   BENCH_SWEEP.json STREAMING_EVAL.json EVAL_RESULTS_EXTENDED.json \
-  EVAL_RESULTS_EXTENDED_ROBUST.json \
+  EVAL_RESULTS_EXTENDED_ROBUST.json EVAL_RESULTS_EXTENDED_COMPRESSION.json \
   PARITY_EMBEDS.npz PARITY.md PARITY_PARTIAL.json \
   CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
 git diff --cached --quiet || git commit -m "Chip-queue artifacts (round 4): bench, TPU tier, perf probe, sweep, streaming, extended eval, parity embeds
