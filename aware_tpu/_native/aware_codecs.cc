@@ -263,6 +263,9 @@ int aware_avc_roundtrip(const char* codec_name, int in_rate,
     int got = swr_convert(c.swr_out, &outp, max_out, nullptr, 0);
     if (got > 0) sink.put(scratch.data(), got);
   }
+  // A truncated decode must surface as an error, never as success with a
+  // silently clipped tail (the Python caller sizes out_cap heuristically).
+  if (sink.overflow) return AVERROR(ENOSPC);
   return sink.n;
 }
 

@@ -101,12 +101,17 @@ def avc_roundtrip(
         raise RuntimeError("libaware_codecs.so unavailable (no libavcodec?)")
     mono = np.ascontiguousarray(np.asarray(x, np.float32).reshape(-1))
     cap = len(mono) + 3 * sr + 8192  # room for codec delay + rate slack
-    out = np.zeros(cap, np.float32)
-    n = lib.aware_avc_roundtrip(
-        codec.encode(), int(sr), int(bitrate_bps), float(q_scale),
-        mono.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(mono),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
-    )
+    enospc = -28  # AVERROR(ENOSPC): native shim reports a truncated decode
+    for _ in range(3):  # grow the buffer if a codec expands more than that
+        out = np.zeros(cap, np.float32)
+        n = lib.aware_avc_roundtrip(
+            codec.encode(), int(sr), int(bitrate_bps), float(q_scale),
+            mono.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(mono),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        )
+        if n != enospc:
+            break
+        cap *= 2
     if n <= 0:
         raise RuntimeError(f"avc roundtrip failed for {codec!r}: rc={n}")
     return _align(out[:n], mono)

@@ -201,8 +201,17 @@ _MPG123_NEW_FORMAT = -11
 _MPG123_DONE = -12
 
 
-def mp3_decode(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MP3 bitstream to (mono float32, sample_rate) via mpg123."""
+def mp3_decode(data: bytes, flush: bool = True) -> tuple[np.ndarray, int]:
+    """Decode an MP3 bitstream to (mono float32, sample_rate) via mpg123.
+
+    mpg123's feed API withholds the final frame(s) until it sees the next
+    frame header, so a single feed of the whole stream loses up to ~1 frame
+    (tens of ms) at the tail.  With ``flush`` (default) the stream's first
+    bytes are re-fed after the payload — the extra headers let the decoder
+    emit the withheld real tail — and at most two frames of the samples
+    produced by that second feed are kept (the withheld tail is bounded by
+    one granule + one frame; everything later is bogus re-fed content).
+    """
     mlib = _mpg123()
     if mlib is None:
         raise RuntimeError("libmpg123 not available in this image")
@@ -220,37 +229,53 @@ def mp3_decode(data: bytes) -> tuple[np.ndarray, int]:
         mlib.mpg123_rates(ctypes.byref(rates), ctypes.byref(n_rates))
         for i in range(n_rates.value):
             mlib.mpg123_format(h, rates[i], 3, _ENC_FLOAT_32)
-        payload = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
-        if mlib.mpg123_feed(h, payload, len(data)) != _MPG123_OK:
-            raise RuntimeError("mpg123_feed failed")
         rate = ctypes.c_long(0)
         channels = ctypes.c_int(1)
         encoding = ctypes.c_int(0)
-        chunks: list[np.ndarray] = []
         out = (ctypes.c_ubyte * 65536)()
         done = ctypes.c_size_t(0)
-        while True:
-            rc = mlib.mpg123_read(h, out, len(out), ctypes.byref(done))
-            if done.value:
-                raw = bytes(out[: done.value])
-                pcm = np.frombuffer(raw, dtype=np.float32)
-                if channels.value == 2:
-                    pcm = pcm.reshape(-1, 2).mean(axis=1)
-                chunks.append(pcm)
-            if rc == _MPG123_NEW_FORMAT:
-                mlib.mpg123_getformat(
-                    h, ctypes.byref(rate), ctypes.byref(channels),
-                    ctypes.byref(encoding),
-                )
-                if encoding.value != _ENC_FLOAT_32:
-                    raise RuntimeError(
-                        f"mpg123 negotiated encoding {encoding.value:#x}, "
-                        "expected float32"
+
+        def drain(chunks: list) -> None:
+            """Read until the decoder wants more input or is done."""
+            while True:
+                rc = mlib.mpg123_read(h, out, len(out), ctypes.byref(done))
+                if done.value:
+                    raw = bytes(out[: done.value])
+                    pcm = np.frombuffer(raw, dtype=np.float32)
+                    if channels.value == 2:
+                        pcm = pcm.reshape(-1, 2).mean(axis=1)
+                    chunks.append(pcm)
+                if rc == _MPG123_NEW_FORMAT:
+                    mlib.mpg123_getformat(
+                        h, ctypes.byref(rate), ctypes.byref(channels),
+                        ctypes.byref(encoding),
                     )
-            elif rc in (_MPG123_NEED_MORE, _MPG123_DONE):
-                break  # all input fed, decoder drained
-            elif rc != _MPG123_OK:
-                raise RuntimeError(f"mpg123_read failed: {rc}")
+                    if encoding.value != _ENC_FLOAT_32:
+                        raise RuntimeError(
+                            f"mpg123 negotiated encoding {encoding.value:#x},"
+                            " expected float32"
+                        )
+                elif rc in (_MPG123_NEED_MORE, _MPG123_DONE):
+                    return
+                elif rc != _MPG123_OK:
+                    raise RuntimeError(f"mpg123_read failed: {rc}")
+
+        def feed(buf: bytes) -> None:
+            payload = (ctypes.c_ubyte * len(buf)).from_buffer_copy(buf)
+            if mlib.mpg123_feed(h, payload, len(buf)) != _MPG123_OK:
+                raise RuntimeError("mpg123_feed failed")
+
+        chunks: list[np.ndarray] = []
+        feed(data)
+        drain(chunks)
+        if flush and len(data) > 0:
+            tail: list[np.ndarray] = []
+            feed(data[:8192])
+            drain(tail)
+            if tail:
+                # the withheld tail is at most one MPEG-1 layer-III frame
+                extra = np.concatenate(tail)
+                chunks.append(extra[:1152])
         if not chunks:
             raise RuntimeError("mpg123 produced no audio")
         return np.concatenate(chunks), int(rate.value)
@@ -291,9 +316,17 @@ def mp3_roundtrip(
 
         g = np.gcd(int(sr), int(out_sr))
         y = resample_poly(y, sr // g, out_sr // g).astype(np.float32)
+    # composite LAME+mpg123 delay is bounded (~1105 samples + resample
+    # edge); restrict the lag search and correlate via FFT — O(n log n)
+    # instead of the full O(n^2) np.correlate
+    from scipy.signal import correlate
+
+    max_lag = 4096
     n = min(len(mono), len(y))
-    corr = np.correlate(y[:n], mono[:n], mode="full")
-    lag = int(np.argmax(corr)) - (n - 1)
+    lo = max(0, n - 1 - max_lag)
+    corr = correlate(y[:n], mono[:n], mode="full", method="fft")
+    corr = corr[lo : n - 1 + max_lag + 1]
+    lag = int(np.argmax(corr)) + lo - (n - 1)
     if lag > 0:
         y = y[lag:]
     elif lag < 0:

@@ -125,7 +125,10 @@ def opus_roundtrip(
             ctypes.c_int(int(bitrate_bps)),
         )
         pkt = (ctypes.c_ubyte * 4000)()
-        out = np.empty_like(padded)
+        # zeros, not empty: a short decode (DTX/short packet, m < frame)
+        # must leave silence in the uncovered tail, never uninitialized
+        # memory flowing into the attacked audio
+        out = np.zeros_like(padded)
         pcm_out = (ctypes.c_float * frame)()
         for i in range(0, len(padded), frame):
             chunk = padded[i : i + frame]
@@ -224,11 +227,21 @@ def gsm_roundtrip(x: np.ndarray, sr: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- shared
 
-def _align(y: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Cross-correlation delay alignment + trim/pad to len(ref)."""
+def _align(y: np.ndarray, ref: np.ndarray, max_lag: int = 4096) -> np.ndarray:
+    """Cross-correlation delay alignment + trim/pad to len(ref).
+
+    Codec algorithmic delay is small and bounded (tens of ms), so the lag
+    search is restricted to ``±max_lag`` samples and the correlation runs
+    via FFT — O(n log n) instead of the O(n^2) full ``np.correlate`` that
+    dominated extended-suite wall time.
+    """
+    from scipy.signal import correlate
+
     n = min(len(ref), len(y))
-    corr = np.correlate(y[:n], ref[:n], mode="full")
-    lag = int(np.argmax(corr)) - (n - 1)
+    lo = max(0, n - 1 - max_lag)
+    hi = n - 1 + max_lag + 1
+    corr = correlate(y[:n], ref[:n], mode="full", method="fft")[lo:hi]
+    lag = int(np.argmax(corr)) + lo - (n - 1)
     if lag > 0:
         y = y[lag:]
     elif lag < 0:

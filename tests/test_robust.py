@@ -150,10 +150,25 @@ def test_identity_margin_never_blocks_real_recovery(watermarked, num, den):
     sped = np.asarray(resample_poly(jnp.asarray(wm), num, den))
     res = detect_watermark_robust(
         sped, 16000, detector, rates=GRID, stretch_rates=(),
-        return_confidence=True, identity_margin=1.25,
+        return_confidence=True, identity_margin=1.9,  # the default
     )
     assert float(np.mean(res.bits != BITS)) == 0.0
     assert abs(res.rate - den / num) < 0.06
+
+
+@pytest.mark.slow
+def test_split_values_full_lane_matches_unsplit(watermarked):
+    """robust_values_split's lane-0 (full-mask) readout equals the plain
+    robust_values readout, and the two half readouts are genuinely
+    different detections (different frame masks)."""
+    from aware_tpu.service.robust import robust_values, robust_values_split
+
+    wm, detector = watermarked
+    full = robust_values(detector, wm, rates=GRID)
+    sv = robust_values_split(detector, wm, rates=GRID)
+    assert sv.shape == (len(GRID), 3, full.shape[-1])
+    np.testing.assert_allclose(sv[:, 0], full, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(sv[:, 1], sv[:, 2])
 
 
 @pytest.mark.slow

@@ -34,7 +34,7 @@ run_step 02_bench timeout 3600 python bench.py --full
 
 # 3. real-chip regression tier -> TPU_TIER.json -> committed artifact
 run_step 03_tpu_tier timeout 5400 python -m pytest tests_tpu -q
-[ -f TPU_TIER.json ] && cp TPU_TIER.json TPU_TIER_r04.json
+[ -f TPU_TIER.json ] && cp TPU_TIER.json TPU_TIER_r05.json
 
 # 4. per-stage perf probe (target ms/iter/clip <= 0.030 at B=256)
 run_step 04_perf_probe timeout 3600 python tools/perf_probe.py \
@@ -75,12 +75,16 @@ cat "$SUMMARY"
 # Persist the artifacts immediately (the queue may finish while no build
 # session is active); restricted to the known artifact files so an
 # in-flight working tree is never swept up.
-cp "$SUMMARY" CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
-git add TPU_TIER_r04.json TPU_TIER.json PERF_PROBE_STEP.json \
+cp "$SUMMARY" CHIP_QUEUE_r05_SUMMARY.txt 2>/dev/null
+# Stage each artifact individually: a missing file (failed step) must not
+# abort staging of the ones that DID land.
+for f in TPU_TIER_r05.json TPU_TIER.json PERF_PROBE_STEP.json \
   BENCH_SWEEP.json STREAMING_EVAL.json EVAL_RESULTS_EXTENDED.json \
   EVAL_RESULTS_EXTENDED_ROBUST.json EVAL_RESULTS_EXTENDED_COMPRESSION.json \
   PARITY_EMBEDS.npz PARITY.md PARITY_PARTIAL.json \
-  CHIP_QUEUE_r04_SUMMARY.txt 2>/dev/null
-git diff --cached --quiet || git commit -m "Chip-queue artifacts (round 4): bench, TPU tier, perf probe, sweep, streaming, extended eval, parity embeds
+  CHIP_QUEUE_r05_SUMMARY.txt; do
+  [ -e "$f" ] && git add "$f"
+done
+git diff --cached --quiet || git commit -m "Chip-queue artifacts (round 5): bench, TPU tier, perf probe, sweep, streaming, extended eval, parity embeds
 
 No-Verification-Needed: artifact-only commit produced by the on-chip validation queue"
