@@ -170,6 +170,19 @@ class AwareConfig:
     # and GSM-FR whose damage is coarse in-band quantization); empty
     # disables.
     eot_mp3_qualities: Any = ()
+    # CELP-family compression EOT views (attacks/celp.py): LPC-envelope
+    # requantization + excitation flattening + band limit — the channel
+    # model of 8-16 kb/s speech codecs (opus@8k voip, GSM-FR), which the
+    # MDCT view demonstrably does not cover (COMPRESSION_EOT_AB.json).
+    # Entries are mode names from attacks/celp.py MODES ("nb8k", "mb16k").
+    eot_celp_modes: Any = ()
+    # Straight-through REAL-codec EOT views: the forward pass runs the
+    # actual in-process codec on host (jax.pure_callback), the backward
+    # pass is identity — ground-truth channel pressure with no modeling
+    # gap.  Host-assisted: practical on the CPU backend (training /
+    # tunnel-outage embedding); on TPU every solver iteration would
+    # round-trip the tunnel.  Entries: "opus_8k", "opus_16k", "gsm_fr".
+    eot_ste_codecs: Any = ()
     eot_weight: float = 1.0
     # How the EOT views enter the objective: "all" sums every view each
     # iteration (cost ~ 1 + n_views per iteration); "cycle" rotates one
@@ -188,7 +201,8 @@ class AwareConfig:
             raise ValueError(f"Invalid eot_mode: {self.eot_mode}")
         for field in ("optimizer_params", "scheduler_params",
                       "embedding_bands", "eot_stretch_rates",
-                      "eot_pitch_cents", "eot_mp3_qualities"):
+                      "eot_pitch_cents", "eot_mp3_qualities",
+                      "eot_celp_modes", "eot_ste_codecs"):
             value = getattr(self, field)
             if isinstance(value, Mapping):
                 value = tuple(sorted(value.items()))
@@ -199,6 +213,14 @@ class AwareConfig:
                  if int(q) not in range(12)]
         if bad_q:
             raise ValueError(f"Invalid eot_mp3_qualities (0-11): {bad_q}")
+        bad_m = [m for m in (self.eot_celp_modes or ())
+                 if m not in ("nb8k", "mb16k")]
+        if bad_m:
+            raise ValueError(f"Invalid eot_celp_modes: {bad_m}")
+        bad_s = [s for s in (self.eot_ste_codecs or ())
+                 if s not in ("opus_8k", "opus_16k", "gsm_fr")]
+        if bad_s:
+            raise ValueError(f"Invalid eot_ste_codecs: {bad_s}")
 
     @property
     def opt_params(self) -> dict[str, Any]:
@@ -237,6 +259,8 @@ class AwareConfig:
             kwargs["eot_pitch_cents"] = tuple(card["eot_pitch_cents"])
         if "eot_mp3_qualities" in card:
             kwargs["eot_mp3_qualities"] = tuple(card["eot_mp3_qualities"])
+        if "eot_celp_modes" in card:
+            kwargs["eot_celp_modes"] = tuple(card["eot_celp_modes"])
         if "optimizer_cfg" in card:
             kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
             kwargs["optimizer_params"] = dict(

@@ -173,10 +173,44 @@ def build_problem(
         tuple(("ts", r) for r in (cfg.eot_stretch_rates or ()))
         + tuple(("ps", c) for c in (cfg.eot_pitch_cents or ()))
         + tuple(("mp3", q) for q in (cfg.eot_mp3_qualities or ()))
+        + tuple(("celp", m) for m in (cfg.eot_celp_modes or ()))
+        + tuple(("ste", s) for s in (cfg.eot_ste_codecs or ()))
     )
     if eot_views:
+        from aware_tpu.attacks.celp import celp_approx
         from aware_tpu.attacks.codec import mp3_approx
         from aware_tpu.attacks.vocoder import pitch_shift, time_stretch
+
+        def _ste_codec(y, name):
+            """Straight-through real codec: forward = the actual
+            in-process codec round-trip on host, backward = identity
+            (custom_jvp passes the tangent through — pure_callback has no
+            JVP rule of its own).  vmap (embed_batch) runs the callback
+            per-lane sequentially."""
+            def host(a):
+                from aware_tpu.attacks import voice_codecs as vc
+
+                a = np.asarray(a, np.float32)
+                if name == "gsm_fr":
+                    out = vc.gsm_roundtrip(a, net_cfg.sample_rate)
+                else:
+                    kbps = int(name.split("_")[1].rstrip("k")) * 1000
+                    out = vc.opus_roundtrip(a, net_cfg.sample_rate, kbps)
+                return out.astype(np.float32)
+
+            @jax.custom_jvp
+            def coded_st(a):
+                return jax.pure_callback(
+                    host, jax.ShapeDtypeStruct(a.shape, jnp.float32), a,
+                    vmap_method="sequential",
+                )
+
+            @coded_st.defjvp
+            def _coded_jvp(primals, tangents):
+                (a,), (ta,) = primals, tangents
+                return coded_st(a), ta  # straight-through identity
+
+            return coded_st(y)
 
         def _view_loss(y, kind, val):
             if kind == "ts":
@@ -187,6 +221,15 @@ def build_problem(
                 # hardens the mark against real low-bitrate codecs
                 # whose damage is coarse in-band quantization
                 yr = mp3_approx(y, net_cfg.sample_rate, int(val))
+            elif kind == "celp":
+                # CELP-family channel model (LPC-envelope requantization;
+                # attacks/celp.py) — the 8-16 kb/s speech-codec pressure
+                # the MDCT view does not cover
+                yr = celp_approx(y, net_cfg.sample_rate, str(val))
+            elif kind == "ste":
+                # ground-truth channel: the REAL codec with a straight-
+                # through gradient (host-assisted; see config)
+                yr = _ste_codec(y, str(val))
             else:  # pitch-shift view, cents -> semitones like the attack
                 yr = pitch_shift(y, val / 100.0)
             m2, _ = magphase(stft(peak_normalize(yr), n_fft, hop, window))

@@ -61,7 +61,13 @@ _AMORTIZED_PATH = _KEY_DIR / "amortized_v1.npz"
 #              default 6 dB box understates both its energy and its
 #              accuracy — AMORTIZED_TOLERANCE_SWEEP.json).
 _VARIANTS: dict[str, tuple[pathlib.Path, float | None]] = {
-    "default": (_AMORTIZED_PATH, None),
+    # "default" ships the one-shot chain's best bundle (seg4 — VERDICT r4
+    # item 6: 2.92% held-out one-shot BER on BOTH families at its trained
+    # tol-2 box; AMORTIZED_CHAIN_STATUS.json is the ledger).  The original
+    # speech-family-only bundle remains available as "speech_v1" (0.83%
+    # in-family at 17.5 dB but 39% off-distribution).
+    "default": (_KEY_DIR / "amortized_v2_diverse_tol2_seg4.npz", 2.0),
+    "speech_v1": (_AMORTIZED_PATH, None),
     "diverse": (_KEY_DIR / "amortized_v1_diverse.npz", None),
     "diverse_tol2": (_KEY_DIR / "amortized_v2_diverse_tol2_seg4.npz", 2.0),
     # NOTE: there is deliberately no solver-distilled bundle.  Two

@@ -330,6 +330,7 @@ def make_attack_list(
     length: int,
     desync: bool = False,
     stretch_rates: tuple[float, ...] = DESYNC_STRETCH_RATES,
+    compression: bool = False,
 ) -> tuple[list[Callable], int]:
     """Attack branches with a uniform static output length.
 
@@ -337,6 +338,11 @@ def make_attack_list(
     phase-vocoder stretch changes length per (static) rate — so every
     branch is cropped to the minimum branch length.  Returns
     ``(branch_fns, out_length)``; each fn is ``(audio, key) -> audio``.
+
+    ``compression`` adds the differentiable codec channel models (the
+    solver's EOT medicine, VERDICT r4 item 3/4): MDCT quantization at
+    extreme pressure (mp3_approx q10/q11) and the CELP LPC-envelope view
+    (celp_approx nb8k) — all length-preserving.
     """
     from aware_tpu.attacks.vocoder import time_stretch
 
@@ -350,6 +356,14 @@ def make_attack_list(
             ).shape[-1]
             fns.append(lambda a, k, r=r: time_stretch(a, r))
             out_lens.append(out)
+    if compression:
+        from aware_tpu.attacks.celp import celp_approx
+        from aware_tpu.attacks.codec import mp3_approx
+
+        fns.append(lambda a, k: mp3_approx(a, 16000, 10))
+        fns.append(lambda a, k: mp3_approx(a, 16000, 11))
+        fns.append(lambda a, k: celp_approx(a, 16000, "nb8k"))
+        out_lens += [length] * 3
     l_out = min(out_lens)
     return [lambda a, k, f=f: f(a, k)[..., :l_out] for f in fns], l_out
 
@@ -380,6 +394,9 @@ class TrainConfig:
     desync_attacks: bool = False
     # stretch-rate curriculum; repeat a rate to weight it more heavily
     stretch_rates: tuple = DESYNC_STRETCH_RATES
+    # include differentiable codec views (mp3_approx q10/q11 + celp nb8k)
+    # in the attack mix — the compression analogue of desync_attacks
+    compression_attacks: bool = False
     # compute the detection loss on BOTH the clean and the attacked view of
     # the watermarked clip.  Essential for joint (train_detector=True)
     # training: with only hard attacked views the detector collapses to the
@@ -455,7 +472,7 @@ def init_train_state(
 def _clip_loss(
     cfg, e_params, d_params, audio, pattern, key, desync=False,
     dual_view=False, stretch_rates=DESYNC_STRETCH_RATES,
-    det_loss_kind="push_extremes", margin_target=0.5,
+    det_loss_kind="push_extremes", margin_target=0.5, compression=False,
 ):
     """One clip's adversarial loss (vmapped over the batch)."""
     n_fft, hop = cfg.frame_length, cfg.hop_length
@@ -472,7 +489,8 @@ def _clip_loss(
     wm_audio = peak_normalize(istft(polar(wmag, phase), n_fft, hop, window))
 
     attacks, _ = make_attack_list(
-        wm_audio.shape[-1], desync=desync, stretch_rates=stretch_rates
+        wm_audio.shape[-1], desync=desync, stretch_rates=stretch_rates,
+        compression=compression,
     )
     attacked = apply_random_attack(wm_audio, key, attacks)
 
@@ -528,6 +546,7 @@ def make_train_step(cfg: AwareConfig, tcfg: TrainConfig):
                 stretch_rates=tcfg.stretch_rates,
                 det_loss_kind=tcfg.det_loss,
                 margin_target=tcfg.margin_target,
+                compression=tcfg.compression_attacks,
             )
         )(audios, patterns, keys)
         loss = jnp.mean(det) + tcfg.lambda_percept * jnp.mean(percept)

@@ -25,13 +25,15 @@ def test_oneshot_embed(model, speechlike):
     assert wm.shape == ((len(speechlike) // 256) * 256,)
     detected = detect_watermark(wm, 16000, detector)
     ber = float(np.mean(detected != BITS)) * 100
-    # amortized one-shot: measured ~8% mean; generous bound per clip
+    # amortized one-shot (seg4 default, ~3% mean); generous bound per clip
     assert ber <= 25.0, f"one-shot BER {ber}%"
     snr = 10 * np.log10(
         np.mean(speechlike[: len(wm)] ** 2)
         / np.mean((wm - speechlike[: len(wm)]) ** 2)
     )
-    assert snr > 12.0
+    # the default bundle embeds at its trained tol-2 box (~12.7 dB mean
+    # on speech material; per-clip slack below that)
+    assert snr > 9.0
 
 
 def test_oneshot_tolerance_override(model, speechlike):
@@ -40,9 +42,13 @@ def test_oneshot_tolerance_override(model, speechlike):
     detects, and the card's own budget is untouched
     (AMORTIZED_TOLERANCE_SWEEP.json is the measured accuracy curve)."""
     embedder, detector = model
-    wm6 = embed_watermark_oneshot(speechlike, 16000, BITS, embedder)
+    # speech_v1 has no trained-box entry, so it embeds at the card's 6 dB
+    # box unless overridden — the variant that exercises the override path
+    wm6 = embed_watermark_oneshot(speechlike, 16000, BITS, embedder,
+                                  variant="speech_v1")
     wm2 = embed_watermark_oneshot(
-        speechlike, 16000, BITS, embedder, tolerance_db=2.0
+        speechlike, 16000, BITS, embedder, variant="speech_v1",
+        tolerance_db=2.0
     )
 
     def snr(w):

@@ -68,6 +68,8 @@ def main() -> None:
     ap.add_argument("--eot-weight", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=313)
     ap.add_argument("--out", default="COMPRESSION_EOT_AB.json")
+    ap.add_argument("--arms", nargs="*", default=None,
+                    help="arm-name prefixes to run (default: all)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -101,7 +103,36 @@ def main() -> None:
             eot_mp3_qualities=tuple(args.qualities),
             eot_weight=args.eot_weight,
         ),
+        # round 5: the CELP-channel view (attacks/celp.py) targets exactly
+        # the rows the MDCT view left open (opus_8k, gsm_fr)
+        "C_celp_eot": base.replace(
+            eot_mode="cycle",
+            eot_celp_modes=("nb8k",),
+            eot_weight=args.eot_weight,
+        ),
+        "D_mp3_celp_eot": base.replace(
+            eot_mode="cycle",
+            eot_mp3_qualities=tuple(args.qualities),
+            eot_celp_modes=("nb8k",),
+            eot_weight=args.eot_weight,
+        ),
+        # ceiling probe: the REAL codec in the loop (straight-through
+        # gradient, host callback) — if even this doesn't move opus_8k,
+        # the row is a genuine capacity limit, not a modeling gap
+        "E_ste_opus8k": base.replace(
+            eot_mode="cycle",
+            eot_ste_codecs=("opus_8k",),
+            eot_weight=args.eot_weight,
+        ),
+        "F_ste_opus8k_gsm": base.replace(
+            eot_mode="cycle",
+            eot_ste_codecs=("opus_8k", "gsm_fr"),
+            eot_weight=args.eot_weight,
+        ),
     }
+    if args.arms:
+        arms = {k: v for k, v in arms.items()
+                if any(k.startswith(a) for a in args.arms)}
     out = {
         "clips": args.clips,
         "iterations": args.iterations,

@@ -40,10 +40,12 @@ def main() -> None:
                          "search (service/robust.py) instead of plain "
                          "detection — closes the ts_*/ps_5 rows the same "
                          "way it does for the solver path")
-    ap.add_argument("--identity-margin", type=float, default=1.25,
+    ap.add_argument("--identity-margin", type=float, default=1.9,
                     help="identity-lane preference margin for "
                          "--robust-detect (one-shot marks are weak; a "
-                         "pure argmax can mis-lock on spurious lanes)")
+                         "pure argmax can mis-lock on spurious lanes — "
+                         "calibrated in ROBUST_LANE_DIAG.json: genuine "
+                         "desync clears 2.3x, spurious lanes stay <1.6x)")
     args = ap.parse_args()
 
     if args.robust_detect and args.out == "ONESHOT_ROBUSTNESS.json":
