@@ -8,6 +8,12 @@ from aware_tpu.service.api import (
     detect_watermark_batch,
 )
 from aware_tpu.service.codec import encode_pattern, decode_pattern
+from aware_tpu.service.ecc import (
+    decode_message,
+    detect_message,
+    embed_message,
+    encode_message,
+)
 from aware_tpu.service.robust import detect_watermark_robust
 from aware_tpu.service.fast import embed_watermark_oneshot, embed_watermark_turbo
 from aware_tpu.service.streaming import (
@@ -29,6 +35,10 @@ __all__ = [
     "detect_watermark_batch",
     "encode_pattern",
     "decode_pattern",
+    "encode_message",
+    "decode_message",
+    "embed_message",
+    "detect_message",
     "StreamingDetector",
     "StreamingResult",
     "detect_watermark_streaming",

@@ -63,6 +63,11 @@ run_step 08b_eval_extended_robust timeout 7200 bash -c \
 run_step 08c_eval_extended_compression timeout 7200 bash -c \
   'python -m aware_tpu.eval --clips 6 --extended --card compression > EVAL_RESULTS_EXTENDED_COMPRESSION.json'
 
+# 8d. message-level ECC eval with chip embeds (compression card, real
+#     low-bitrate codec rows) — the system-level payload-survival metric
+run_step 08d_ecc_eval timeout 7200 python tools/ecc_eval.py \
+  --card compression --clips 6 --k 8 --out ECC_EVAL_CHIP.json
+
 # 5b. host-side parity eval against the chip embeds (CPU, long)
 if [ -f PARITY_EMBEDS.npz ]; then
   run_step 05b_parity_eval timeout 14400 python tools/parity_eval.py \
@@ -81,6 +86,7 @@ cp "$SUMMARY" CHIP_QUEUE_r05_SUMMARY.txt 2>/dev/null
 for f in TPU_TIER_r05.json TPU_TIER.json PERF_PROBE_STEP.json \
   BENCH_SWEEP.json STREAMING_EVAL.json EVAL_RESULTS_EXTENDED.json \
   EVAL_RESULTS_EXTENDED_ROBUST.json EVAL_RESULTS_EXTENDED_COMPRESSION.json \
+  ECC_EVAL_CHIP.json \
   PARITY_EMBEDS.npz PARITY.md PARITY_PARTIAL.json \
   CHIP_QUEUE_r05_SUMMARY.txt; do
   [ -e "$f" ] && git add "$f"

@@ -18,8 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
 def main() -> None:
