@@ -261,6 +261,8 @@ class AwareConfig:
             kwargs["eot_mp3_qualities"] = tuple(card["eot_mp3_qualities"])
         if "eot_celp_modes" in card:
             kwargs["eot_celp_modes"] = tuple(card["eot_celp_modes"])
+        if "eot_ste_codecs" in card:
+            kwargs["eot_ste_codecs"] = tuple(card["eot_ste_codecs"])
         if "optimizer_cfg" in card:
             kwargs["optimizer_name"] = card["optimizer_cfg"].get("name", "nadam")
             kwargs["optimizer_params"] = dict(

@@ -195,8 +195,18 @@ def test_bare_card_names_resolve_and_compression_card_parses(speechlike):
     assert embedder.cfg.eot_stretch_rates  # the robust card's views
 
     embedder, detector = load("compression", num_iterations=40)
-    assert embedder.cfg.eot_mp3_qualities == (11,)
-    assert embedder.cfg.eot_mode == "all"
+    assert embedder.cfg.eot_mp3_qualities == (10, 11)
+    assert embedder.cfg.eot_celp_modes == ("nb8k",)
+    assert embedder.cfg.eot_mode == "cycle"
     wm = embed_watermark(speechlike, 16000, BITS, embedder)
     detected = detect_watermark(wm, 16000, detector)
     assert np.mean(detected != BITS) == 0.0
+
+
+def test_voice_card_parses_ste_codecs():
+    """The voice card loads the straight-through REAL-codec views
+    (arm F of COMPRESSION_EOT_AB_STE_F.json) from YAML."""
+    embedder, _ = load("voice", num_iterations=2)
+    assert embedder.cfg.eot_ste_codecs == ("opus_8k", "gsm_fr")
+    assert embedder.cfg.eot_mode == "cycle"
+    assert embedder.cfg.eot_weight == 1.0
