@@ -205,6 +205,28 @@ def embed_message(audio, sample_rate, msg_bits, embedder):
     return embed_watermark(audio, sample_rate, bits, embedder)
 
 
+def decode_message_windows(
+    values: np.ndarray, k: int, top: int = 0
+) -> EccResult:
+    """ML message decode over stacked per-window detector values (N, n).
+
+    For a mark repeated across sliding windows (service/streaming.py
+    StreamingResult.values) the per-codeword correlations ADD across
+    windows under independent noise, so decoding the window-summed
+    values is the joint ML decision — a free integration gain over
+    decoding any single window.  With ``top > 0`` only the ``top``
+    windows by energy (sum |values|) are summed — use when the mark
+    covers part of the stream and silent windows would dilute it.
+    """
+    v = np.asarray(values, dtype=np.float32)
+    if v.ndim != 2:
+        raise ValueError(f"expected (N, n) window values, got {v.shape}")
+    if top and top < v.shape[0]:
+        idx = np.argsort(np.abs(v).sum(axis=1))[-top:]
+        v = v[idx]
+    return decode_message(v.sum(axis=0), k, n_slots=v.shape[1])
+
+
 def detect_message(audio, sample_rate, detector, k: int) -> EccResult:
     """Detect + ML-decode a k-bit message from one clip.
 

@@ -97,6 +97,43 @@ def test_encode_message_infers_k():
     np.testing.assert_array_equal(res.slot_bits, slots)
 
 
+def test_window_integration_gain():
+    """Summing window values before decoding recovers messages no single
+    window can (correlations add, noise averages down)."""
+    from aware_tpu.service.ecc import decode_message_windows, get_code
+
+    code = get_code(8)
+    rng = np.random.default_rng(2)
+    joint_ok = single_ok = 0
+    for _ in range(50):
+        msg = rng.integers(0, 2, 8, dtype=np.int32)
+        clean = 2.0 * code.encode(msg) - 1.0
+        win = (0.35 * clean[None, :]
+               + 0.9 * rng.standard_normal((16, 20))).astype(np.float32)
+        single_ok += int((code.decode(win[0]).msg_bits == msg).all())
+        joint_ok += int(
+            (decode_message_windows(win, 8).msg_bits == msg).all()
+        )
+    assert joint_ok >= 48
+    assert joint_ok > single_ok
+
+
+def test_window_top_selection():
+    """top=K sums only the K highest-energy windows — dilution from
+    mark-free windows is excluded."""
+    from aware_tpu.service.ecc import decode_message_windows, get_code
+
+    code = get_code(6)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, 6, dtype=np.int32)
+    clean = 2.0 * code.encode(msg) - 1.0
+    marked = 0.9 * clean[None, :] + 0.1 * rng.standard_normal((3, 20))
+    empty = 0.4 * rng.standard_normal((30, 20))
+    win = np.concatenate([empty[:15], marked, empty[15:]]).astype(np.float32)
+    res = decode_message_windows(win, 6, top=3)
+    np.testing.assert_array_equal(res.msg_bits, msg)
+
+
 def test_invalid_sizes():
     with pytest.raises(ValueError):
         get_code(0)
