@@ -10,7 +10,9 @@ from aware_tpu.service.api import (
 from aware_tpu.service.codec import encode_pattern, decode_pattern
 from aware_tpu.service.ecc import (
     decode_message,
+    decode_message_windows,
     detect_message,
+    detect_message_robust,
     embed_message,
     encode_message,
 )
@@ -37,8 +39,10 @@ __all__ = [
     "decode_pattern",
     "encode_message",
     "decode_message",
+    "decode_message_windows",
     "embed_message",
     "detect_message",
+    "detect_message_robust",
     "StreamingDetector",
     "StreamingResult",
     "detect_watermark_streaming",

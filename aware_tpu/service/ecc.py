@@ -227,6 +227,83 @@ def decode_message_windows(
     return decode_message(v.sum(axis=0), k, n_slots=v.shape[1])
 
 
+def _best_lane(
+    lane_values: np.ndarray,
+    code: EccCode,
+    identity_idx: int | None = None,
+    identity_margin: float = 1.0,
+) -> tuple[int, EccResult]:
+    """Pick the compensation lane whose ML decode is most significant.
+
+    ``lane_values``: (H, n) raw detector values, one row per hypothesis.
+    Lanes are scored by the normalized max codebook correlation (the
+    z-statistic behind the presence p-value) — the codebook constraint
+    makes a wrong lane's best correlation concentrate near the null,
+    a sharper selector than mean |values| for message mode.  As in
+    robust._search, ``identity_margin > 1`` keeps the identity lane
+    unless another beats it by that factor.
+    """
+    v = np.asarray(lane_values, dtype=np.float32)
+    results = [code.decode(v[h]) for h in range(v.shape[0])]
+    z = np.array([
+        r.score / ((float(np.std(v[h])) or 1e-12) * math.sqrt(code.n))
+        for h, r in enumerate(results)
+    ])
+    best = int(np.argmax(z))
+    if (
+        identity_idx is not None
+        and identity_margin > 1.0
+        and z[best] < identity_margin * z[identity_idx]
+    ):
+        best = identity_idx
+    return best, results[best]
+
+
+def detect_message_robust(
+    audio,
+    sample_rate,
+    detector,
+    k: int,
+    rates: tuple[float, ...] | None = None,
+    stretch_rates: tuple[float, ...] | None = None,
+    identity_margin: float = 1.0,
+):
+    """ML message decode under unknown time-scaling.
+
+    Runs the robust compensation grid (service/robust.py — resample and
+    vocoder-stretch lanes in one dispatched program), ML-decodes every
+    lane, and returns ``(EccResult, kind, rate)`` for the lane whose
+    decode is most significant.  Unlike bit-mode robust detection the
+    lane selector is codebook-constrained (see ``_best_lane``), so
+    spurious lanes rarely outbid a genuine one; ``identity_margin``
+    stays available for weak (one-shot) marks.
+    """
+    from aware_tpu.service import robust as _robust
+
+    a = np.asarray(audio, dtype=np.float32)
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    if sample_rate != detector.cfg.detection_net.sample_rate:
+        raise ValueError(
+            f"Robust detector operates at "
+            f"{detector.cfg.detection_net.sample_rate} Hz"
+        )
+    rates = _robust.DEFAULT_RATES if rates is None else tuple(rates)
+    stretch_rates = (
+        _robust.DEFAULT_STRETCH_RATES if stretch_rates is None
+        else tuple(stretch_rates)
+    )
+    values = _robust.robust_values(detector, a, rates, stretch_rates)
+    code = get_code(k, values.shape[1])
+    ident = rates.index(1.0) if 1.0 in rates else None
+    best, result = _best_lane(values, code, ident, identity_margin)
+    hyps = [("resample", r) for r in rates] + [
+        ("stretch", r) for r in stretch_rates
+    ]
+    kind, rate = hyps[best]
+    return result, kind, rate
+
+
 def detect_message(audio, sample_rate, detector, k: int) -> EccResult:
     """Detect + ML-decode a k-bit message from one clip.
 

@@ -134,6 +134,28 @@ def test_window_top_selection():
     np.testing.assert_array_equal(res.msg_bits, msg)
 
 
+def test_best_lane_codebook_selector():
+    """Lane scoring: the lane holding a (noisy) codeword wins over
+    noise-only lanes, and its decode is the embedded message; with a
+    high identity margin and only-noise advantage, identity holds."""
+    from aware_tpu.service.ecc import _best_lane, get_code
+
+    code = get_code(8)
+    rng = np.random.default_rng(4)
+    msg = rng.integers(0, 2, 8, dtype=np.int32)
+    clean = 2.0 * code.encode(msg) - 1.0
+    lanes = 0.45 * rng.standard_normal((5, 20)).astype(np.float32)
+    lanes[3] = 0.8 * clean + 0.35 * rng.standard_normal(20)
+    best, res = _best_lane(lanes, code, identity_idx=0)
+    assert best == 3
+    np.testing.assert_array_equal(res.msg_bits, msg)
+
+    # all-noise lanes: a strong identity margin pins the identity lane
+    noise = 0.45 * rng.standard_normal((5, 20)).astype(np.float32)
+    best, _ = _best_lane(noise, code, identity_idx=0, identity_margin=10.0)
+    assert best == 0
+
+
 def test_invalid_sizes():
     with pytest.raises(ValueError):
         get_code(0)
