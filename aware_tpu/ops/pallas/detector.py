@@ -220,12 +220,17 @@ def _det_fwd_values(cs, melb, pmt, w0t, w1t, w2t, w3t, biases, eo):
     gr = 1.0 / (s + _GS_EPS)
     b_full = (a - gmu) * gr
 
-    # AvgPool1d(2, 2) as strided sublane adds (torch floor-division drop
-    # of a trailing odd frame = the [:2*t2] bound); replaces the
-    # (T2, T) pool matmul — f32 adds, strictly more accurate than the
-    # old bf16 matmul form
-    t2 = pmt.shape[0]
-    x = (b_full[0 : 2 * t2 : 2] + b_full[1 : 2 * t2 : 2]) * 0.5
+    # AvgPool1d(2, 2) as the (T2, T) pool matmul in f32 (torch floor-
+    # division drop of a trailing odd frame = pmt's zero trailing
+    # column).  The round-4 strided-sublane-add form (b_full[0::2] +
+    # b_full[1::2]) was REVERTED: jax 0.9.0 Mosaic lowers strided
+    # sublane slices to a gather it rejects ("Shape mismatch in input,
+    # indices and output") — first seen on the round-5 chip run.  The
+    # f32 matmul keeps the accuracy win over the old bf16 form: the
+    # 0.5 entries are exponent-only scalings, so every product is
+    # exact and the 2-term f32 accumulation matches the strided add.
+    x = jnp.dot(pmt.astype(jnp.float32), b_full,
+                preferred_element_type=jnp.float32)
 
     wts = (w0t, w1t, w2t, w3t)
     ys, rins = [], []
@@ -464,8 +469,8 @@ def detector_fused_reference(cs, c: DetConsts) -> jnp.ndarray:
     gmu = jnp.mean(a)
     gvar = jnp.sum((a - gmu) ** 2) / (n_el - 1)
     b_full = (a - gmu) * (1.0 / (jnp.sqrt(gvar) + _GS_EPS))
-    t2 = c.pmt.shape[0]
-    x = (b_full[0 : 2 * t2 : 2] + b_full[1 : 2 * t2 : 2]) * 0.5
+    x = jnp.dot(c.pmt.astype(jnp.float32), b_full,
+                preferred_element_type=jnp.float32)
     wts = (c.w0t, c.w1t, c.w2t, c.w3t)
     for i in range(4):
         c_out = CH[i + 1]
