@@ -23,6 +23,17 @@ row window; callers pad the time axis so every window is in-bounds
 The double peak-norm scale and its max-subgradient VJP run in XLA
 (two elementwise streams — bandwidth-trivial next to the matmuls).
 
+Batching: ``vmap`` of a pallas_call with ANY-space operands produces a
+block spec Mosaic rejects ("supports in memory space ANY only blocks
+having the same block shape as the array shape"), so the kernels here
+are NATIVELY batched — batch is the outer grid dimension, each program
+DMAs its (clip, tile) window — and the public ops intercept ``vmap``
+with ``jax.custom_batching.custom_vmap`` to dispatch into the batched
+grid instead of letting Pallas's generic batching rule fire.  One vmap
+level is supported (the solver's ``embed_batch``); the custom_vjp
+wrappers are only ever vmapped, never differentiated through, so
+custom_vmap's autodiff limitation never applies.
+
 Numerics match the whole-clip kernels: bf16 matmul operands, f32
 accumulation, reflect-pad handled by the caller's XLA edge corrections
 (ops/pallas/roundtrip.py edge_corrections — unchanged).
@@ -36,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,10 +68,11 @@ def _cdiv(a: int, b: int) -> int:
 # ------------------------------------------------ generic shifted matmul ---
 
 def _shift_mm_kernel(x_any, w_ref, out_ref, xbuf, sem):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     tt = out_ref.shape[0]
     cp = pltpu.make_async_copy(
-        x_any.at[pl.ds(i * tt, tt + HALO)], xbuf, sem
+        x_any.at[b, pl.ds(i * tt, tt + HALO)], xbuf, sem
     )
     cp.start()
     cp.wait()
@@ -72,50 +85,80 @@ def _shift_mm_kernel(x_any, w_ref, out_ref, xbuf, sem):
     out_ref[:] = acc
 
 
-def shift_mm(xp: jnp.ndarray, w: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """out[t] = sum_o xp[t+o] @ w[o] for t < n_out (tiled over time).
-
-    xp: (>= n_out_padded + HALO, D) f32; w: (R, D, E) bf16.  The caller
-    guarantees xp rows beyond its logical extent are zero.
-    """
-    d = xp.shape[1]
+def _shift_mm_core(xp3: jnp.ndarray, w: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Batched core: xp3 (B, N, D) -> (B, n_out, E); grid = (B, tiles)."""
+    bsz, n_rows, d = xp3.shape
     e = w.shape[2]
     n_pad = _cdiv(n_out, TILE) * TILE
-    if xp.shape[0] < n_pad + HALO:
-        xp = jnp.pad(xp, ((0, n_pad + HALO - xp.shape[0]), (0, 0)))
+    if n_rows < n_pad + HALO:
+        xp3 = jnp.pad(xp3, ((0, 0), (0, n_pad + HALO - n_rows), (0, 0)))
     grid = n_pad // TILE
     out = pl.pallas_call(
         _shift_mm_kernel,
-        grid=(grid,),
+        grid=(bsz, grid),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, e), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (None, TILE, e), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, e), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TILE + HALO, d), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_use_interpret(),
-    )(xp, w)
-    return out[:n_out]
+    )(xp3, w)
+    return out[:, :n_out]
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_mm_cv(n_out: int):
+
+
+    @custom_vmap
+    def f(xp, w):
+        return _shift_mm_core(xp[None], w, n_out)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, xp, w):
+        xb, wb = in_batched
+        if wb:  # never happens on the solver path; sequential fallback
+            xpb = xp if xb else jnp.broadcast_to(
+                xp[None], (axis_size,) + xp.shape
+            )
+            return jax.lax.map(lambda a: f(a[0], a[1]), (xpb, w)), True
+        if not xb:
+            xp = jnp.broadcast_to(xp[None], (axis_size,) + xp.shape)
+        return _shift_mm_core(xp, w, n_out), True
+
+    return f
+
+
+def shift_mm(xp: jnp.ndarray, w: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """out[t] = sum_o xp[t+o] @ w[o] for t < n_out (tiled over time).
+
+    xp: (>= n_out_padded + HALO, D) f32; w: (R, D, E) bf16.  The caller
+    guarantees xp rows beyond its logical extent are zero.  vmappable
+    (one level) via the batched grid — see module docstring.
+    """
+    return _shift_mm_cv(int(n_out))(xp, w)
 
 
 # ------------------------------------------------- synthesis fwd (fused) ---
 
 def _synth_tiled_kernel(ct_any, csin_any, yconst_ref, env_ref, w_ref,
                         u_ref, m1_ref, cbuf, sbuf, sem):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     tt = u_ref.shape[0]
     p = cbuf.shape[1]
     cp1 = pltpu.make_async_copy(
-        ct_any.at[pl.ds(i * tt, tt + HALO)], cbuf, sem.at[0]
+        ct_any.at[b, pl.ds(i * tt, tt + HALO)], cbuf, sem.at[0]
     )
     cp2 = pltpu.make_async_copy(
-        csin_any.at[pl.ds(i * tt, tt + HALO)], sbuf, sem.at[1]
+        csin_any.at[b, pl.ds(i * tt, tt + HALO)], sbuf, sem.at[1]
     )
     cp1.start()
     cp2.start()
@@ -146,39 +189,42 @@ def _synth_tiled_kernel(ct_any, csin_any, yconst_ref, env_ref, w_ref,
         m1_ref[0, 0] = jnp.maximum(m1_ref[0, 0], tile_max)
 
 
-def _synth_tiled_impl(ctp, csinp, yconst2d, env2d, w_fwd):
-    lr, hop = env2d.shape
-    p = ctp.shape[1]
+def _synth_core(ctp3, csinp3, yconst3, env3, w_fwd):
+    """Batched core: (B, T+halo, P)+(B, T+halo, 2P)+(B, LR, hop)x2 ->
+    u (B, LR, hop), m1 (B,); grid = (B, tiles), running-max per clip."""
+    bsz, lr, hop = env3.shape
+    p = ctp3.shape[2]
     n_pad = _cdiv(lr, TILE) * TILE
     pad = n_pad - lr
     if pad:
-        yconst2d = jnp.pad(yconst2d, ((0, pad), (0, 0)))
-        env2d = jnp.pad(env2d, ((0, pad), (0, 0)), constant_values=1.0)
-    if ctp.shape[0] < n_pad + HALO:
-        grow = n_pad + HALO - ctp.shape[0]
-        ctp = jnp.pad(ctp, ((0, grow), (0, 0)))
-        csinp = jnp.pad(csinp, ((0, grow), (0, 0)))
+        yconst3 = jnp.pad(yconst3, ((0, 0), (0, pad), (0, 0)))
+        env3 = jnp.pad(env3, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
+    if ctp3.shape[1] < n_pad + HALO:
+        grow = n_pad + HALO - ctp3.shape[1]
+        ctp3 = jnp.pad(ctp3, ((0, 0), (0, grow), (0, 0)))
+        csinp3 = jnp.pad(csinp3, ((0, 0), (0, grow), (0, 0)))
     grid = n_pad // TILE
     u, m1 = pl.pallas_call(
         _synth_tiled_kernel,
-        grid=(grid,),
+        grid=(bsz, grid),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((TILE, hop), lambda i: (i, 0),
+            pl.BlockSpec((None, TILE, hop), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, hop), lambda i: (i, 0),
+            pl.BlockSpec((None, TILE, hop), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, hop), lambda i: (i, 0),
+            pl.BlockSpec((None, TILE, hop), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, hop), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_pad, hop), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE + HALO, p), jnp.float32),
@@ -186,8 +232,38 @@ def _synth_tiled_impl(ctp, csinp, yconst2d, env2d, w_fwd):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),
-    )(ctp, csinp, yconst2d, env2d, w_fwd)
-    return u[:lr], m1[0, 0]
+    )(ctp3, csinp3, yconst3, env3, w_fwd)
+    return u[:, :lr], m1[:, 0, 0]
+
+
+def _bcast(x, axis_size, batched):
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@custom_vmap
+def _synth_tiled_impl(ctp, csinp, yconst2d, env2d, w_fwd):
+    u, m1 = _synth_core(
+        ctp[None], csinp[None], yconst2d[None], env2d[None], w_fwd
+    )
+    return u[0], m1[0]
+
+
+@_synth_tiled_impl.def_vmap
+def _synth_tiled_vmap(axis_size, in_batched, ctp, csinp, yconst2d, env2d,
+                      w_fwd):
+    cb, sb, yb, eb, wb = in_batched
+    if wb:  # per-clip bases never happen on the solver path
+        args = tuple(
+            _bcast(a, axis_size, b)
+            for a, b in zip((ctp, csinp, yconst2d, env2d, w_fwd), in_batched)
+        )
+        return jax.lax.map(lambda a: _synth_tiled_impl(*a), args), (True, True)
+    ctp = _bcast(ctp, axis_size, cb)
+    csinp = _bcast(csinp, axis_size, sb)
+    yconst2d = _bcast(yconst2d, axis_size, yb)
+    env2d = _bcast(env2d, axis_size, eb)  # a shared constant under vmap
+    u, m1 = _synth_core(ctp, csinp, yconst2d, env2d, w_fwd)
+    return (u, m1), (True, True)
 
 
 # ----------------------------------------------------------- public ops ---

@@ -172,6 +172,37 @@ class TestTiledRoundtrip:
         scale2 = float(jnp.max(jnp.abs(dr2)))
         assert float(jnp.max(jnp.abs(dk2 - dr2))) / scale2 < 0.02
 
+    def test_vmap_matches_per_example(self, data, rngl):
+        """vmap dispatches into the natively batched grid (custom_vmap) —
+        bit-identical to the per-example kernels, fwd and grad.  The
+        solver's embed_batch vmaps the whole embed step, so this is the
+        shape the round-5 chip bench 60 s row exercises (the generic
+        Pallas vmap rule produced an ANY-space block spec Mosaic
+        rejects)."""
+        d = data
+        t, lr, bsz = self.T, self.T - 1, 2
+        csinp1 = make_csinp(d["cos"], d["sin"], P)
+        cts = jnp.stack([self._ct(d), self._ct(d) * 0.7])
+        csinps = jnp.stack([csinp1, csinp1 * 0.9])
+        yconsts = jnp.stack([d["yconst"], d["yconst"] * 1.3])
+
+        def f(ct, csinp, yconst):
+            y2 = synth_norm_tiled(ct, csinp, yconst, d["env"],
+                                  d["tb"]["w_sf"], d["tb"]["w_sb"])
+            return band_analysis_tiled(y2, d["tb"]["w_af"], d["tb"]["w_ab"])
+
+        def loss(ct, csinp, yconst):
+            return jnp.sum(f(ct, csinp, yconst) ** 2)
+
+        out_b = jax.vmap(f)(cts, csinps, yconsts)
+        out_l = jnp.stack([f(cts[i], csinps[i], yconsts[i])
+                           for i in range(bsz)])
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_l))
+        g_b = jax.vmap(jax.grad(loss))(cts, csinps, yconsts)
+        g_l = jnp.stack([jax.grad(loss)(cts[i], csinps[i], yconsts[i])
+                         for i in range(bsz)])
+        np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_l))
+
 
 @pytest.mark.slow
 def test_long_clip_solver_outcome():

@@ -188,6 +188,54 @@ def main() -> int:
         )
     )
 
+    # --- tiled long-clip kernels, vmapped (bench 60 s row shape) -------
+    from aware_tpu.ops.pallas.roundtrip_tiled import (
+        band_analysis_tiled,
+        build_tiled_bases,
+        synth_norm_tiled,
+    )
+
+    n_fft, hop = net.n_fft, net.n_fft // 4
+    p_t = -(-nb // 128) * 128
+    t_l, b_l = 1300, 2  # > the 1024-frame whole-clip bound
+    ab_t = np.zeros((2 * p_t, n_fft), np.float32)
+    ab_t[:nb] = rng.standard_normal((nb, n_fft)) * 0.05
+    csw_t = np.zeros((n_fft, 2 * p_t), np.float32)
+    csw_t[:, :nb] = rng.standard_normal((n_fft, nb)) * 0.05
+    tb = build_tiled_bases(ab_t, csw_t)
+    cts = jnp.asarray(
+        rng.standard_normal((b_l, t_l, p_t)).astype(np.float32) * 0.1
+    )
+    csinps = jnp.asarray(
+        rng.standard_normal((b_l, t_l + 3, 2 * p_t)).astype(np.float32)
+    )
+    ycs = jnp.asarray(
+        rng.standard_normal((b_l, t_l - 1, hop)).astype(np.float32) * 0.01
+    )
+    env_t = jnp.asarray(
+        (1.0 + rng.random((t_l - 1, hop))).astype(np.float32)
+    )
+
+    def _tiled_rt(ct, csinp, yc):
+        y2 = synth_norm_tiled(ct, csinp, yc, env_t, tb["w_sf"], tb["w_sb"])
+        return band_analysis_tiled(y2, tb["w_af"], tb["w_ab"])
+
+    def _tiled_loss(ct, csinp, yc):
+        return jnp.sum(_tiled_rt(ct, csinp, yc) ** 2)
+
+    checks.append(
+        (
+            "tiled roundtrip vmapped fwd (60s bench shape)",
+            lambda: _lower(jax.vmap(_tiled_rt), cts, csinps, ycs),
+        )
+    )
+    checks.append(
+        (
+            "tiled roundtrip vmapped grad",
+            lambda: _lower(jax.vmap(jax.grad(_tiled_loss)), cts, csinps, ycs),
+        )
+    )
+
     failed = []
     for name, thunk in checks:
         try:
