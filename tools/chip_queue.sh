@@ -36,9 +36,13 @@ run_step 02_bench timeout 3600 python bench.py --full
 run_step 03_tpu_tier timeout 5400 python -m pytest tests_tpu -q
 [ -f TPU_TIER.json ] && cp TPU_TIER.json TPU_TIER_r05.json
 
-# 4. per-stage perf probe (target ms/iter/clip <= 0.030 at B=256)
+# 4. per-stage perf probe (target ms/iter/clip <= 0.030 at B=256).
+#    --pallas-roundtrip is REQUIRED to measure the bench flagship path:
+#    without it the probe times the XLA slab solver (~0.096 ms/clip/iter)
+#    and reads like a 3x kernel regression that isn't there (round-5
+#    finding — the first r5 probe ran flagless and recorded exactly that).
 run_step 04_perf_probe timeout 3600 python tools/perf_probe.py \
-  --batches 64 256 --out PERF_PROBE_STEP.json
+  --pallas-roundtrip --batches 64 256 --out PERF_PROBE_STEP.json
 
 # 5a. parity embeds on chip (minutes); 5b (host, ~2h) runs AFTER the
 #     remaining chip steps so the chip isn't idle behind a host job.
