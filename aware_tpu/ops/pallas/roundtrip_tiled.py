@@ -54,6 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-8
 R = 4          # n_fft // hop for the supported 1024/256 geometry
 HALO = R - 1   # 3 extra rows per tile window
+# DMA window rows per tile: the halo'd window is TILE+3, but Mosaic
+# requires (sub)slices of a tiled memref to be 8-row aligned along the
+# sublane dim ("Slice shape along dimension 1 must be aligned to tiling
+# (8), but is 259" — the ANY-space operand can be placed in VMEM, where
+# the constraint is enforced; first seen on the round-5 chip compile).
+# Each program copies HALO_PAD rows and uses the first TILE+HALO.
+HALO_PAD = 8
 TILE = 256     # frames per grid step
 
 
@@ -72,7 +79,7 @@ def _shift_mm_kernel(x_any, w_ref, out_ref, xbuf, sem):
     i = pl.program_id(1)
     tt = out_ref.shape[0]
     cp = pltpu.make_async_copy(
-        x_any.at[b, pl.ds(i * tt, tt + HALO)], xbuf, sem
+        x_any.at[b, pl.ds(i * tt, tt + HALO_PAD)], xbuf, sem
     )
     cp.start()
     cp.wait()
@@ -90,8 +97,8 @@ def _shift_mm_core(xp3: jnp.ndarray, w: jnp.ndarray, n_out: int) -> jnp.ndarray:
     bsz, n_rows, d = xp3.shape
     e = w.shape[2]
     n_pad = _cdiv(n_out, TILE) * TILE
-    if n_rows < n_pad + HALO:
-        xp3 = jnp.pad(xp3, ((0, 0), (0, n_pad + HALO - n_rows), (0, 0)))
+    if n_rows < n_pad + HALO_PAD:
+        xp3 = jnp.pad(xp3, ((0, 0), (0, n_pad + HALO_PAD - n_rows), (0, 0)))
     grid = n_pad // TILE
     out = pl.pallas_call(
         _shift_mm_kernel,
@@ -105,7 +112,7 @@ def _shift_mm_core(xp3: jnp.ndarray, w: jnp.ndarray, n_out: int) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, e), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE + HALO, d), jnp.float32),
+            pltpu.VMEM((TILE + HALO_PAD, d), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_use_interpret(),
@@ -155,10 +162,10 @@ def _synth_tiled_kernel(ct_any, csin_any, yconst_ref, env_ref, w_ref,
     tt = u_ref.shape[0]
     p = cbuf.shape[1]
     cp1 = pltpu.make_async_copy(
-        ct_any.at[b, pl.ds(i * tt, tt + HALO)], cbuf, sem.at[0]
+        ct_any.at[b, pl.ds(i * tt, tt + HALO_PAD)], cbuf, sem.at[0]
     )
     cp2 = pltpu.make_async_copy(
-        csin_any.at[b, pl.ds(i * tt, tt + HALO)], sbuf, sem.at[1]
+        csin_any.at[b, pl.ds(i * tt, tt + HALO_PAD)], sbuf, sem.at[1]
     )
     cp1.start()
     cp2.start()
@@ -199,8 +206,8 @@ def _synth_core(ctp3, csinp3, yconst3, env3, w_fwd):
     if pad:
         yconst3 = jnp.pad(yconst3, ((0, 0), (0, pad), (0, 0)))
         env3 = jnp.pad(env3, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
-    if ctp3.shape[1] < n_pad + HALO:
-        grow = n_pad + HALO - ctp3.shape[1]
+    if ctp3.shape[1] < n_pad + HALO_PAD:
+        grow = n_pad + HALO_PAD - ctp3.shape[1]
         ctp3 = jnp.pad(ctp3, ((0, 0), (0, grow), (0, 0)))
         csinp3 = jnp.pad(csinp3, ((0, 0), (0, grow), (0, 0)))
     grid = n_pad // TILE
@@ -227,8 +234,8 @@ def _synth_core(ctp3, csinp3, yconst3, env3, w_fwd):
             jax.ShapeDtypeStruct((bsz, 1, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE + HALO, p), jnp.float32),
-            pltpu.VMEM((TILE + HALO, 2 * p), jnp.float32),
+            pltpu.VMEM((TILE + HALO_PAD, p), jnp.float32),
+            pltpu.VMEM((TILE + HALO_PAD, 2 * p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_use_interpret(),

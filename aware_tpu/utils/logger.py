@@ -1,7 +1,11 @@
 """Framework logger (reference: src/AWARE/utils/logger.py:1-30).
 
-Stdlib logger with ANSI-colored stdout formatting.  Named ``aware_tpu``
-(the reference logger carries the legacy name "deltamark").
+Stdlib logger with ANSI-colored formatting.  Named ``aware_tpu``
+(the reference logger carries the legacy name "deltamark").  Unlike the
+reference it streams to STDERR: the CLI surfaces (``python -m
+aware_tpu.eval`` et al.) print JSON artifacts on stdout, and the
+round-5 chip run showed load()'s INFO lines corrupting a redirected
+``> results.json``.
 """
 
 import logging
@@ -26,7 +30,7 @@ class _ColorFormatter(logging.Formatter):
 
 logger = logging.getLogger("aware_tpu")
 if not logger.handlers:
-    _handler = logging.StreamHandler(sys.stdout)
+    _handler = logging.StreamHandler(sys.stderr)
     _handler.setFormatter(_ColorFormatter())
     logger.addHandler(_handler)
     logger.setLevel(logging.INFO)
