@@ -239,3 +239,112 @@ def test_batch_embed_service_on_chip(params, speechlike):
     out = embed_watermark_batch(clips, 16000, bits, model)
     detected = detect_watermark_batch(out, 16000, det)
     assert np.mean(detected != bits) == 0.0
+
+
+# -------------------------------------------------- tiled long-clip path ---
+
+def test_tiled_kernels_vmapped_on_chip(rng):
+    """Batched (custom_vmap -> batch-gridded) tiled round-trip kernels
+    compile to Mosaic and match the bf16 XLA slab replica on chip.
+
+    Round-5 regression guard: this exact shape class carried TWO chip-only
+    failures the CPU interpret suite could not see — the generic Pallas
+    vmap rule producing an ANY-space block spec Mosaic rejects, and the
+    VMEM-placed halo'd DMA slice violating 8-row sublane tiling."""
+    from aware_tpu.ops.pallas.roundtrip_tiled import (
+        HALO,
+        R,
+        band_analysis_tiled,
+        build_tiled_bases,
+        make_csinp,
+        synth_norm_tiled,
+    )
+
+    n_fft, hop, p = 1024, 256, 256
+    t, b = 1300, 2  # > the 1024-frame whole-clip bound
+    lr = t - 1
+    ab_np = np.zeros((2 * p, n_fft), np.float32)
+    ab_np[:NB] = rng.standard_normal((NB, n_fft)) * 0.05
+    ab_np[p : p + NB] = rng.standard_normal((NB, n_fft)) * 0.05
+    csw_np = np.zeros((n_fft, 2 * p), np.float32)
+    csw_np[:, :NB] = rng.standard_normal((n_fft, NB)) * 0.05
+    csw_np[:, p : p + NB] = rng.standard_normal((n_fft, NB)) * 0.05
+    tb = build_tiled_bases(ab_np, csw_np)
+    coeffs = rng.standard_normal((b, NB, t)).astype(np.float32) * 0.1
+    cos = np.cos(rng.uniform(-np.pi, np.pi, (b, NB, t))).astype(np.float32)
+    sin = np.sqrt(np.maximum(1 - cos**2, 0)).astype(np.float32)
+    yconst = rng.standard_normal((b, lr, hop)).astype(np.float32) * 0.01
+    env = (1.0 + rng.random((lr, hop))).astype(np.float32)
+
+    cts = jnp.zeros((b, t, p), jnp.float32).at[:, :, :NB].set(
+        jnp.asarray(coeffs).transpose(0, 2, 1)
+    )
+    csinps = jnp.stack(
+        [make_csinp(jnp.asarray(cos[i]), jnp.asarray(sin[i]), p)
+         for i in range(b)]
+    )
+    ycs, envj = jnp.asarray(yconst), jnp.asarray(env)
+
+    def rt(ct, csinp, yc):
+        y2 = synth_norm_tiled(ct, csinp, yc, envj, tb["w_sf"], tb["w_sb"])
+        return band_analysis_tiled(y2, tb["w_af"], tb["w_ab"])
+
+    got = np.asarray(jax.jit(jax.vmap(rt))(cts, csinps, ycs))
+
+    # bf16 XLA slab replica (same operand casts as the kernels)
+    ab = jnp.asarray(ab_np, jnp.bfloat16)
+    csw = jnp.asarray(csw_np, jnp.bfloat16)
+
+    def replica(i):
+        reim = jnp.concatenate(
+            [jnp.asarray(coeffs[i]) * cos[i], jnp.asarray(coeffs[i]) * sin[i]],
+            axis=0,
+        ).T
+        reimp = jnp.zeros((t, 2 * p)).at[:, :NB].set(reim[:, :NB])
+        reimp = reimp.at[:, p : p + NB].set(reim[:, NB:]).astype(jnp.bfloat16)
+        yd = jnp.zeros((t + R - 1, hop))
+        for k in range(R):
+            yd = yd.at[k : k + t].add(
+                jnp.dot(reimp, ab[:, k * hop : (k + 1) * hop],
+                        preferred_element_type=jnp.float32)
+            )
+        u = yd[HALO - 1 : HALO - 1 + lr] / envj + ycs[i]
+        m1 = jnp.max(jnp.abs(u))
+        y2 = u / (m1 * (1 + 1e-8) + 1e-16)
+        yp = jnp.zeros((t + R - 1, hop)).at[HALO - 1 : HALO - 1 + lr].set(y2)
+        out = 0
+        for k in range(R):
+            out = out + jnp.dot(
+                yp[k : k + t].astype(jnp.bfloat16),
+                csw[k * hop : (k + 1) * hop],
+                preferred_element_type=jnp.float32,
+            )
+        return out
+
+    want = np.stack(
+        [np.asarray(jax.jit(replica, static_argnums=0)(i)) for i in range(b)]
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_long_clip_batch_embed_on_chip(params, speechlike):
+    """A >16 s batched embed runs through the TILED kernel path (the 60 s
+    bench row program class) end-to-end on chip at 0 BER."""
+    from aware_tpu.embed import embed_batch
+    from aware_tpu.models.detector import detect_values_jit
+
+    cfg = AwareConfig().replace(
+        use_pallas_roundtrip=True,
+        num_iterations=50,
+        matmul_precision="default",
+    )
+    clip = np.tile(speechlike, 10)  # 20 s @ 16 kHz -> T=1251 > 1024
+    clips = jnp.asarray(np.stack([clip, np.roll(clip, 4000)]))
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (2, 20))
+    wms = jnp.asarray((2 * bits - 1).astype(np.float32))
+    res = embed_batch(params, clips, wms, cfg)
+    audio = np.asarray(res.audio)
+    for i in range(2):
+        vals = np.asarray(detect_values_jit(params, jnp.asarray(audio[i])))
+        assert np.mean((vals > 0).astype(int) != bits[i]) == 0.0
