@@ -335,7 +335,17 @@ def main() -> None:
         "only detector parity (|A−B|) applies there.",
     ]
     out = pathlib.Path(__file__).parent.parent / "PARITY.md"
-    out.write_text("\n".join(lines) + "\n")
+    # Preserve hand-written analysis sections (PESQ bound, residual-gap
+    # notes, ...): everything from the first "## PESQ" heading on is
+    # carried over verbatim — a regenerated table must not clobber them
+    # (it did once, round 5).
+    preserved = ""
+    if out.exists():
+        old = out.read_text()
+        idx = old.find("## PESQ")
+        if idx >= 0:
+            preserved = "\n" + old[idx:]
+    out.write_text("\n".join(lines) + "\n" + preserved)
     print(f"wrote {out}")
     for v, (ab, ab_nd, ac) in summary.items():
         print(f"{v}: worst |A-B| {ab:.3f}% (non-desync {ab_nd:.3f}%), "
