@@ -75,6 +75,31 @@ class EmbedResult(NamedTuple):
                              # optimization variables (distillation targets)
 
 
+@functools.lru_cache(maxsize=None)
+def _backend_lacks_host_callbacks() -> bool:
+    """Probe whether the default backend executes jax.pure_callback.
+
+    Remote-TPU transports can reject host send/recv callbacks at
+    runtime (axon_pjrt raises UNIMPLEMENTED); one tiny probe per
+    process lets STE-codec cards fail at build time with an actionable
+    message instead.  CPU always supports callbacks.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        probe = jax.jit(
+            lambda x: jax.pure_callback(
+                lambda a: np.asarray(a, np.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                x,
+            )
+        )
+        np.asarray(probe(jnp.float32(1.0)))
+        return False
+    except Exception:
+        return True
+
+
 def _band_concat(mag, band, lo, hi):
     """Write ``band`` into rows [lo, hi) of ``mag`` (static concat)."""
     return jnp.concatenate([mag[:lo], band, mag[hi:]], axis=0)
@@ -180,6 +205,20 @@ def build_problem(
         from aware_tpu.attacks.celp import celp_approx
         from aware_tpu.attacks.codec import mp3_approx
         from aware_tpu.attacks.vocoder import pitch_shift, time_stretch
+
+        if cfg.eot_ste_codecs and _backend_lacks_host_callbacks():
+            # fail at build time with an actionable message instead of
+            # the runtime UNIMPLEMENTED deep inside the scan (round-5
+            # chip finding: axon_pjrt rejects host send/recv callbacks)
+            raise RuntimeError(
+                "This card's eot_ste_codecs views run the real codec on "
+                "the host via jax.pure_callback, which the current TPU "
+                "transport does not support (axon_pjrt: no host "
+                "send/recv callbacks). Run this card on the CPU backend "
+                "(tools: --cpu; library: jax.config.update("
+                "'jax_platforms', 'cpu') before load()) or on a "
+                "directly attached TPU."
+            )
 
         def _ste_codec(y, name):
             """Straight-through real codec: forward = the actual
