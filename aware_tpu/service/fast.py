@@ -70,6 +70,16 @@ _VARIANTS: dict[str, tuple[pathlib.Path, float | None]] = {
     "speech_v1": (_AMORTIZED_PATH, None),
     "diverse": (_KEY_DIR / "amortized_v1_diverse.npz", None),
     "diverse_tol2": (_KEY_DIR / "amortized_v2_diverse_tol2_seg4.npz", 2.0),
+    # seg4 fine-tuned 2k steps with the solver's EOT views in the
+    # adversarial objective (vocoder-stretch + mp3-approx + celp) — the
+    # desync-row medicine (VERDICT r4 item 3).  MEASURED NEGATIVE, kept
+    # only for reproducibility: desync rows unmoved and clean regressed
+    # 2.92 -> 4.17 (ONESHOT_ROBUSTNESS_EOT.json vs ONESHOT_ROBUSTNESS
+    # .json; ledger AMORTIZED_TRAIN_..._seg5eot.json — training loss flat
+    # for all 2000 steps).  The chain is frozen at seg4; see
+    # AMORTIZED_CHAIN_STATUS.json round5.eot_segment_result.
+    "diverse_tol2_eot": (_KEY_DIR / "amortized_v2_diverse_tol2_seg5eot.npz",
+                         2.0),
     # NOTE: there is deliberately no solver-distilled bundle.  Two
     # attempts (magnitude-only round 1; phase-conditioned with a
     # detector-visible post-roundtrip loss, round 2) both memorize the

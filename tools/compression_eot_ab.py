@@ -129,6 +129,23 @@ def main() -> None:
             eot_ste_codecs=("opus_8k", "gsm_fr"),
             eot_weight=args.eot_weight,
         ),
+        # round 5b: stack the real-codec STE views with the differentiable
+        # CELP + MDCT views — each helped alone (D: opus_8k 24.2, F: 19.2);
+        # the cycle interleaves all of them
+        "G_ste_celp_mp3": base.replace(
+            eot_mode="cycle",
+            eot_ste_codecs=("opus_8k", "gsm_fr"),
+            eot_celp_modes=("nb8k",),
+            eot_mp3_qualities=tuple(args.qualities),
+            eot_weight=args.eot_weight,
+        ),
+        # round 5b: bias the cycle toward the hardest row — opus_8k gets
+        # two slots in the view cycle, gsm_fr one
+        "H_ste_opus_heavy": base.replace(
+            eot_mode="cycle",
+            eot_ste_codecs=("opus_8k", "opus_8k", "gsm_fr"),
+            eot_weight=args.eot_weight,
+        ),
     }
     if args.arms:
         arms = {k: v for k, v in arms.items()
