@@ -66,6 +66,11 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=150)
     ap.add_argument("--qualities", type=int, nargs="+", default=[10, 11])
     ap.add_argument("--eot-weight", type=float, default=1.0)
+    ap.add_argument("--tolerance-db", type=float, default=None,
+                    help="override the card's per-coefficient box width — "
+                         "the voice-frontier quality/robustness axis (the "
+                         "VERDICT target allows SNR down to 9 dB; the STE "
+                         "arms sit at 17-19 dB)")
     ap.add_argument("--seed", type=int, default=313)
     ap.add_argument("--out", default="COMPRESSION_EOT_AB.json")
     ap.add_argument("--arms", nargs="*", default=None,
@@ -82,6 +87,8 @@ def main() -> None:
     from aware_tpu.models import init_params
 
     base = AwareConfig().replace(num_iterations=args.iterations)
+    if args.tolerance_db is not None:
+        base = base.replace(tolerance_db=args.tolerance_db)
     if args.cpu:
         base = base.replace(use_pallas_roundtrip=False,
                             use_pallas_detector=False,
