@@ -273,10 +273,18 @@ def detect_message_robust(
     Runs the robust compensation grid (service/robust.py — resample and
     vocoder-stretch lanes in one dispatched program), ML-decodes every
     lane, and returns ``(EccResult, kind, rate)`` for the lane whose
-    decode is most significant.  Unlike bit-mode robust detection the
-    lane selector is codebook-constrained (see ``_best_lane``), so
-    spurious lanes rarely outbid a genuine one; ``identity_margin``
-    stays available for weak (one-shot) marks.
+    decode is most significant.  The lane selector is
+    codebook-constrained (see ``_best_lane``) — sharper than bit-mode
+    mean |values| — but MEASURED on weak one-shot marks it still
+    mis-locks at the pure-argmax default: ECC_ONESHOT_DESYNC.json shows
+    robust_ml 37-94% vs plain 81-100% at identity_margin=1.0, and
+    exactly == plain at 1.9 (ECC_ONESHOT_DESYNC_M19.json).  Use the
+    default only on solver-strength marks; pass ``identity_margin=1.9``
+    (the bit-mode calibration, ROBUST_LANE_DIAG.json) for one-shot
+    embeds.  Note one-shot marks rarely need the grid at all — their
+    desync-row slot BER (12-21%) is already inside the code's
+    soft-decision correction power, so plain ``detect_message`` decodes
+    100% of k=4 payloads through every ts/ps row.
     """
     from aware_tpu.service import robust as _robust
 
