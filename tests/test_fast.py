@@ -120,3 +120,29 @@ def test_variant_trained_box_autoapplies(model, speechlike):
     assert snr(wm_auto) < snr(wm_wide) - 1.0
     detected = detect_watermark(wm_auto, 16000, detector)
     assert float(np.mean(detected != BITS)) * 100 <= 25.0
+
+
+def test_oneshot_message_survives_desync(model):
+    """The system-level closure of the one-shot desync gap (round 5b,
+    ECC_ONESHOT_DESYNC.json): the amortized embed's 12-21% slot BER
+    under time-stretch is inside the [20,4] code's soft-decision
+    correction power, so a plain ML decode recovers the payload with no
+    compensation search.  Uses the eval harness's 10 s clip — the
+    closure relies on the mark's time redundancy; a 2 s fixture is
+    below the operating point the artifact pins."""
+    from aware_tpu.attacks import TimeStretch
+    from aware_tpu.eval import synthesize_speech_clip
+    from aware_tpu.service.ecc import detect_message, encode_message
+
+    embedder, detector = model
+    clip = synthesize_speech_clip(900)
+    msg = np.array([1, 0, 1, 1], dtype=np.int32)
+    wm = embed_watermark_oneshot(
+        clip, 16000, encode_message(msg), embedder
+    )
+    attacked = np.asarray(
+        TimeStretch(rate=1.1).apply(np.asarray(wm), 16000, key=3),
+        dtype=np.float32,
+    )
+    res = detect_message(attacked, 16000, detector, k=4)
+    assert (res.msg_bits == msg).all(), res
