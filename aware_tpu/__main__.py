@@ -4,7 +4,9 @@ The reference has no CLI (its "API" is the import surface; SURVEY §1).
 This adds one for operational use:
 
     python -m aware_tpu embed  in.wav out.wav --bits 1011... [--card turbo]
+    python -m aware_tpu embed  in.wav out.wav --message 10110101 [--oneshot]
     python -m aware_tpu detect in.wav [--robust]
+    python -m aware_tpu detect in.wav --message-k 8 [--robust]
     python -m aware_tpu eval   [audio_dir] --clips 4
 """
 
@@ -43,14 +45,37 @@ def cmd_embed(args) -> None:
 
     embedder, _ = _load(args.card)
     audio, sr = read_wav(args.input)
-    if args.bits:
+    if args.message:
+        # k-bit payload -> [20, k] soft-decision codeword (service/ecc.py);
+        # decode with `detect --message-k K`
+        from aware_tpu.service.ecc import encode_message
+
+        msg = np.array([int(c) for c in args.message if c in "01"],
+                       dtype=np.int32)
+        bits = encode_message(msg)
+        print(f"message k={len(msg)} -> codeword:",
+              "".join(map(str, bits)))
+    elif args.bits:
         bits = _parse_bits(args.bits, embedder.output_length)
     else:
         bits = np.random.default_rng(args.seed).integers(
             0, 2, embedder.output_length, dtype=np.int32
         )
         print("bits:", "".join(map(str, bits)))
-    out = embed_watermark(audio, sr, bits, embedder)
+    if args.oneshot:
+        from aware_tpu.service import embed_watermark_oneshot
+
+        if sr != embedder.cfg.detection_net.sample_rate:
+            raise SystemExit(
+                "one-shot embed operates at the model rate (16 kHz); "
+                "resample the input or use the solver path"
+            )
+        out = np.asarray(
+            embed_watermark_oneshot(audio, sr, bits, embedder,
+                                    variant=args.variant)
+        )
+    else:
+        out = embed_watermark(audio, sr, bits, embedder)
     write_wav(args.output, out, sr)
     print(f"wrote {args.output} ({out.shape[0]} samples @ {sr} Hz)")
 
@@ -89,6 +114,28 @@ def cmd_detect(args) -> None:
             ],
             "rejected_segments": res.rejected_segments,
         }, indent=2))
+    elif args.message_k:
+        import json
+
+        if args.robust:
+            from aware_tpu.service.ecc import detect_message_robust
+
+            res, kind, rate = detect_message_robust(
+                audio, sr, detector, k=args.message_k,
+                identity_margin=args.identity_margin,
+            )
+            extra = {"lane": kind, "rate": rate}
+        else:
+            from aware_tpu.service.ecc import detect_message
+
+            res = detect_message(audio, sr, detector, k=args.message_k)
+            extra = {}
+        print(json.dumps({
+            "message": "".join(map(str, np.asarray(res.msg_bits))),
+            "margin": float(res.margin),
+            "pvalue": float(res.pvalue),
+            **extra,
+        }, indent=2))
     elif args.robust:
         res = detect_watermark_robust(
             audio, sr, detector, return_confidence=True
@@ -119,6 +166,17 @@ def main(argv=None) -> None:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--bits", help="bit string, e.g. 10110... (random if omitted)")
+    p.add_argument("--message",
+                   help="k-bit payload (k<=8) encoded through the [20,k] "
+                        "soft-decision ECC instead of raw slot bits; decode "
+                        "with `detect --message-k K`")
+    p.add_argument("--oneshot", action="store_true",
+                   help="single-forward-pass amortized embed (~1726 "
+                        "clips/s; ~3%% slot BER vs the solver's 0%%) — "
+                        "pair with --message, whose code absorbs that")
+    p.add_argument("--variant", default="default",
+                   help="one-shot bundle variant (service/fast.py "
+                        "_VARIANTS)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--card", default=None, help="config card path or 'turbo'")
     p.set_defaults(fn=cmd_embed)
@@ -134,6 +192,14 @@ def main(argv=None) -> None:
                    help="streaming window hop seconds")
     p.add_argument("--robust", action="store_true",
                    help="speed-change-robust rate search")
+    p.add_argument("--message-k", type=int, default=None,
+                   help="ML-decode a k-bit ECC payload (prints JSON with "
+                        "margin + presence p-value); combine with --robust "
+                        "for the desync compensation grid")
+    p.add_argument("--identity-margin", type=float, default=1.0,
+                   help="lane guard for --robust --message-k: keep 1.0 for "
+                        "solver-strength marks, use 1.9 for weak one-shot "
+                        "marks (measured: ECC_ONESHOT_DESYNC*.json)")
     p.add_argument("--card", default=None)
     p.set_defaults(fn=cmd_detect)
 
