@@ -154,7 +154,16 @@ def cmd_eval(args) -> None:
 
     from aware_tpu.eval import run_robustness_eval
 
-    results = run_robustness_eval(args.audio_dir, args.clips, args.seed)
+    attacks = None
+    if args.extended:
+        from aware_tpu.attacks.voice_codecs import extended_attack_suite
+
+        attacks = extended_attack_suite()
+    model = _load(args.card) if args.card else None
+    results = run_robustness_eval(
+        args.audio_dir, args.clips, args.seed, attacks=attacks,
+        model=model, robust=args.robust_detect,
+    )
     print(json.dumps(results, indent=2))
 
 
@@ -207,6 +216,16 @@ def main(argv=None) -> None:
     p.add_argument("audio_dir", nargs="?", default=None)
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--extended", action="store_true",
+                   help="add the real-codec rows (Opus/GSM/AAC/Vorbis/"
+                        "Speex/G.722/soxr) beyond the reference's "
+                        "22-attack suite")
+    p.add_argument("--card", default=None,
+                   help="config card: bare packaged name (robust/"
+                        "compression/voice/turbo/desync) or YAML path")
+    p.add_argument("--robust-detect", action="store_true",
+                   help="detect through the rate-search compensation "
+                        "detector")
     p.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)
