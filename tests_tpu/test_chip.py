@@ -351,3 +351,26 @@ def test_long_clip_batch_embed_on_chip(params, speechlike):
     for i in range(2):
         vals = np.asarray(detect_values_jit(params, jnp.asarray(audio[i])))
         assert np.mean((vals > 0).astype(int) != bits[i]) == 0.0
+
+
+def test_ecc_message_roundtrip_on_chip(params, speechlike):
+    """The round-5b message layer on the real chip: a 1-byte payload
+    encoded through the [20,8] soft-decision code, embedded by the
+    kernel-path solver, ML-decoded from on-chip detector values with a
+    significant presence p-value."""
+    from aware_tpu.service.api import AWAREDetector, AWAREEmbedder
+    from aware_tpu.service.api import embed_watermark
+    from aware_tpu.service.ecc import detect_message, encode_message
+
+    cfg = AwareConfig().replace(
+        use_pallas_roundtrip=True,
+        num_iterations=50,
+        matmul_precision="default",
+    )
+    model = AWAREEmbedder(params=params, cfg=cfg)
+    det = AWAREDetector(params=params, cfg=cfg)
+    msg = np.array([1, 0, 1, 1, 0, 1, 0, 0], dtype=np.int32)
+    wm = embed_watermark(speechlike, 16000, encode_message(msg), model)
+    res = detect_message(np.asarray(wm), 16000, det, k=8)
+    assert (res.msg_bits == msg).all()
+    assert res.pvalue < 1e-2, res
