@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--window-seconds", type=float, default=2.0)
     ap.add_argument("--hop-seconds", type=float, default=1.0)
     ap.add_argument("--batch-windows", type=int, default=256)
+    ap.add_argument("--message-k", type=int, default=8,
+                    help="plant [20,k]-coded payloads and score joint-ML "
+                         "message recovery over each matched segment's "
+                         "windows (decode_message_windows); 0 plants raw "
+                         "random slot bits like the round-4 eval")
     ap.add_argument("--out", default="STREAMING_EVAL.json")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU self-test: forces the CPU backend, the "
@@ -114,7 +119,18 @@ def main() -> None:
         [:plant_len]
         for i in range(args.plants)
     ])
-    bits = rng.integers(0, 2, size=(args.plants, 20)).astype(np.int32)
+    if args.message_k:
+        # each plant carries a k-bit payload through the soft-decision
+        # code; the codeword IS the 20 slot bits, so bit-mode scoring
+        # below is unchanged while message recovery is scored additively
+        from aware_tpu.service.ecc import decode_message_windows, get_code
+
+        code = get_code(args.message_k, 20)
+        msgs = rng.integers(0, 2, size=(args.plants, args.message_k)
+                            ).astype(np.int32)
+        bits = np.stack([code.encode(m) for m in msgs])
+    else:
+        bits = rng.integers(0, 2, size=(args.plants, 20)).astype(np.int32)
     wms = (2 * bits - 1).astype(np.float32)
     t0 = time.time()
     res = embed_batch(params, jnp.asarray(clips), jnp.asarray(wms), cfg)
@@ -150,7 +166,7 @@ def main() -> None:
     # ---- 4. scoring ------------------------------------------------------
     plant_spans = [(o / sr, (o + len(marked[0])) / sr) for o in offsets]
     tol = args.window_seconds
-    recalled, bit_errs = 0, []
+    recalled, bit_errs, msg_ok = 0, [], []
     matched_segments: set[int] = set()
     for p_i, (s0, s1) in enumerate(plant_spans):
         best = None
@@ -158,10 +174,23 @@ def main() -> None:
             if seg.start_seconds < s1 + tol and seg.end_seconds > s0 - tol:
                 if best is None or seg.confidence > best[1].confidence:
                     best = (si, seg)
-        if best is not None:
-            recalled += 1
-            matched_segments.add(best[0])
-            bit_errs.append(float(np.mean(best[1].bits != bits[p_i])))
+        if best is None:
+            if args.message_k:
+                msg_ok.append(0.0)
+            continue
+        recalled += 1
+        matched_segments.add(best[0])
+        bit_errs.append(float(np.mean(best[1].bits != bits[p_i])))
+        if args.message_k:
+            # joint-ML decode over the matched segment's windows: the
+            # per-codeword correlations add across windows, an
+            # integration gain no single window provides
+            seg = best[1]
+            in_seg = (result.window_starts >= seg.start_seconds) & (
+                result.window_starts <= seg.end_seconds)
+            dec = decode_message_windows(
+                result.values[in_seg], args.message_k)
+            msg_ok.append(float((dec.msg_bits == msgs[p_i]).all()))
     false_segments = len(result.segments) - len(matched_segments)
 
     # ---- 5. null threshold stability ------------------------------------
@@ -191,6 +220,10 @@ def main() -> None:
         "embed_plants_s_incl_compile": round(embed_s, 1),
         "backend": jax.default_backend(),
     }
+    if args.message_k:
+        out["message_k"] = args.message_k
+        out["message_recovery_pct"] = round(
+            100.0 * float(np.mean(msg_ok)), 2) if msg_ok else None
     print(json.dumps(out, indent=2))
     (ROOT / args.out).write_text(json.dumps(out, indent=2))
     print(f"wrote {ROOT / args.out}")
